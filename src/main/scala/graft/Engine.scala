@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Local testing runs `local[32]` in one JVM, but every knob here is chosen
+  * for the 1000-executor / 100 TB deployment shape and merely scaled down:
+  *   - AQE on: runtime coalescing + skew-join splitting replaces hand-tuned
+  *     partition counts at any scale.
+  *   - shuffle.partitions=32 locally (= cores); on a real cluster this is
+  *     overridden per-deploy (2-3x total cores) and AQE coalesces down.
+  *   - autoBroadcastJoinThreshold left at default (10 MB): dimension tables
+  *     (region/nation/customer/supplier/part at TPC-H-ish ratios) broadcast;
+  *     fact-fact joins shuffle. We additionally hint `broadcast()` where the
+  *     dimension side is known-small by construction.
+  */
+object Engine {
+  def session(appName: String = "graft", cores: String = "32"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries timestamp[ns]; read as LongType nanos so no
+      // precision is silently dropped (we bucket/order on exact int64 nanos).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val withMaster =
+      if (SparkSession.getActiveSession.isDefined) b
+      else b.master(s"local[$cores]")
+    val spark = withMaster.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Uniform batch access to the driver-generated parquet tables.
+  *
+  * At 100 TB these reads are the scan edge: keep them bare `spark.read.parquet`
+  * so Catalyst's parquet source handles column pruning + predicate pushdown +
+  * partition pruning; never materialize or cache a full table here.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet stores timestamp[ns]; read as int64 nanos (exact)
+    // regardless of which session built us — the driver's Verify/Bench
+    // sessions don't go through Engine.session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

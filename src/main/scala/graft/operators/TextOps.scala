@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for LLM training-data pipelines.
+  *
+  * Built from `functions._` column expressions — no UDFs. Determinism
+  * matters doubly: results must be identical between runs AND reproducible
+  * by the DuckDB oracle, so all hashing is md5 (stable, engine-independent)
+  * rather than Spark's Murmur3 `hash()`.
+  *
+  * PERFORMANCE NOTE: higher-order functions (`transform`/`aggregate`/
+  * `filter`) are CodegenFallback in Spark — they run interpreted. An
+  * expression tree that nests `split(text)` inside a lambda re-evaluates
+  * the split PER ELEMENT (O(n²) per row, interpreted). Every operator here
+  * therefore takes already-materialized array columns, and the query layer
+  * projects each intermediate (tokens → shingles → signature) exactly once
+  * per row through separate `select`s.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. The corpus is single-space separated; for real
+    * corpora swap the pattern for `\\s+`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-token shingles from a MATERIALIZED token-array column
+    * (1-based positions, matching DuckDB list indexing). Shingling gives
+    * MinHash discriminative power on small-vocabulary corpora — unigrams
+    * saturate. Guarded for texts shorter than n tokens (Spark's `sequence`
+    * counts DOWN for start > stop). */
+  def shinglesOf(toks: Column, n: Int = 3): Column = {
+    val idx = sequence(lit(1), size(toks) - (n - 1))
+    val make = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast("int"))): _*))
+    array_distinct(when(size(toks) >= n, make).otherwise(array()))
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: canonical doc per md5(text) group. One shuffle on the
+    * 128-bit fingerprint; the shuffle carries only (fp, doc_id) — 40 bytes
+    * per doc regardless of doc size. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** One MinHash signature component over a materialized element array:
+    * min over elements of md5(salt || elem). Lexicographic min over md5 hex
+    * strings is a valid min-wise hash (hex encoding is order-preserving
+    * w.r.t. the 128-bit value). */
+  def minhash(elems: Column, salt: Int): Column =
+    array_min(transform(elems, t => md5(concat(lit(s"$salt:"), t).cast("binary"))))
+
+  /** Candidate near-duplicate pairs (id1 < id2) via banded MinHash-LSH over
+    * 3-token shingles. Defaults (16 hashes, bands of 4) put the LSH s-curve
+    * threshold near Jaccard 0.5: catch probability ≈ 1.0 at s=0.9, ≈ 0.03
+    * at s=0.3.
+    *
+    * Scale: shingle/signature computation is embarrassingly parallel in the
+    * scan stage (each doc → 16×32B signature). The only shuffle is on band
+    * keys; bucket sizes are bounded by band collision probability, so the
+    * within-bucket self-join is skew-bounded by construction.
+    */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val withBands = minhashBands(docs, idCol, textCol, numHashes, rowsPerBand)
+    val a = withBands.as("a")
+    val b = withBands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** (doc_id, band, bk) rows: one per LSH band per doc. Each intermediate
+    * (tokens, shingles, signature components) is projected once so the
+    * interpreted lambdas never re-evaluate an upstream subtree. */
+  def minhashBands(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val toksDf = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    val shDf = toksDf.select(col("doc_id"), shinglesOf(col("__toks")).as("__sh"))
+    val sigDf = shDf.select(col("doc_id") +:
+      (0 until numHashes).map(i => minhash(col("__sh"), i).as(s"mh$i")): _*)
+    val bands = (0 until numHashes / rowsPerBand).map { j =>
+      val concatCols = (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))
+      struct(lit(j).as("band"), md5(concat(concatCols: _*).cast("binary")).as("bk"))
+    }
+    sigDf
+      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bk").as("bk"))
+  }
+
+  /** Exact Jaccard similarity between two distinct-element arrays, by
+    * inclusion-exclusion on integer cardinalities (one final double division
+    * → deterministic across engines). */
+  def jaccard(ta: Column, tb: Column): Column = {
+    val inter = size(array_intersect(ta, tb)).cast("double")
+    val union = (size(ta) + size(tb)).cast("double") - inter
+    inter / union
+  }
+
+  /** 16-bit integer hash per token (first 4 md5 hex chars), as an array —
+    * materialize this once, then feed [[simhashFromHashes]]. */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int"))
+
+  /** 16-bit SimHash from a materialized token-hash array. Each token votes
+    * ±1 on each bit position; positive sums set the bit. No explode → no
+    * shuffle: the signature is produced in the scan stage. */
+  def simhashFromHashes(vals: Column): Column = {
+    val bitSums: Seq[Column] = (0 until 16).map { j =>
+      aggregate(
+        transform(vals, v => when(shiftright(v, j).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        lit(0),
+        (acc, x) => acc + x)
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  // ------------------------------------------------------------- analysis
+
+  /** Stopword ratio feature list (quality scoring). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+
+  /** Heuristic language ID from stopword profiles over a materialized token
+    * array. Marker hits counted per language; most hits wins, ties broken by
+    * fixed priority order; no hits → "und". */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }
+
+  /** Pick the winning language from materialized score columns (one column
+    * per entry of [[langMarkers]], same order). */
+  def langPick(scores: Seq[(String, Column)]): Column = {
+    val best = scores.map(_._2).reduce((x, y) => greatest(x, y))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1] from materialized token counts: blend of length
+    * band, type-token ratio and (1 - stopword ratio). */
+  def qualityScore(nTokens: Column, nDistinct: Column, nStop: Column): Column = {
+    val n = nTokens.cast("double")
+    val d = nDistinct.cast("double")
+    val sw = nStop.cast("double")
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    val ttr = d / n
+    val nonStop = (n - sw) / n
+    round((lenScore + ttr + nonStop) / lit(3.0), 4)
+  }
+
+  /** BPE-ish token estimate: alpha runs, digit runs, other non-space symbols
+    * (regex kept RE2-compatible so the oracle matches). */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+")) +
+      regexp_count(text, lit("[0-9]+")) +
+      regexp_count(text, lit("[^a-zA-Z0-9 ]"))
+
+  /** Content fingerprint: md5 of the full text. */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Structural fingerprint (head ++ tail ++ length) that survives
+    * mid-document edits — the pattern used for shard-level dedup manifests. */
+  def structuralFingerprint(text: Column): Column =
+    md5(concat(
+      text.substr(lit(1), lit(64)),
+      text.substr(greatest(length(text) - 63, lit(1)), lit(64)),
+      length(text).cast("string")).cast("binary"))
+}

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The driver-facing query catalog: every operator class from SURVEY.md §2
+  * plus the LLM-data-pipeline operators, each as (Spark impl, DuckDB oracle).
+  *
+  * Oracle-matching rules (kept in lockstep with the Spark implementations):
+  *   - aggregates of 2-dp doubles go through DECIMAL(18,2) on both engines
+  *     (exact, order-independent), final cast to DOUBLE;
+  *   - `events.ts` (parquet timestamp[ns]) is read by Spark as int64 nanos
+  *     and by DuckDB as µs-truncated TIMESTAMP; all uses go through
+  *     `ts div 1000` ≡ `epoch_us(ts)` so both sides agree exactly;
+  *   - window ranks are CAST(... AS INT) in SQL to match Spark's
+  *     IntegerType row_number;
+  *   - list/array hashing is md5-based (engine-independent), never the
+  *     engines' native hash functions;
+  *   - every query ends in a fully-deterministic ORDER BY.
+  */
+object Catalog {
+
+  final case class QuerySpec(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  // ----------------------------------------------------------- SQL helpers
+
+  private val revenueSql =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  private def sumDecSql(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Distinct 3-token shingles, mirroring TextOps.shingles. */
+  private val shingleCte =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shx AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |  THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |  ELSE []::VARCHAR[] END) AS sh FROM tk)""".stripMargin
+
+  private val numHashes = 16
+  private val rowsPerBand = 4
+
+  /** MinHash signature + LSH band CTEs, mirroring TextOps.minhashCandidates. */
+  private val minhashCtes: String = {
+    val sigCols = (0 until numHashes)
+      .map(i => s"list_min(list_transform(sh, x -> md5('$i:' || x))) AS mh$i")
+      .mkString(",\n  ")
+    val bandRows = (0 until numHashes / rowsPerBand).map { j =>
+      val cat = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $j AS band, md5($cat) AS bk FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleCte,
+       |sigs AS (SELECT doc_id,
+       |  $sigCols
+       |FROM shx),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- specs
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q1_pricing_summary", RelationalQueries.q1PricingSummary,
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  %SQ% AS sum_qty,
+        |  %SP% AS sum_base_price,
+        |  %REV% AS sum_disc_price,
+        |  %SQ% / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        .replace("%SQ%", sumDecSql("l_quantity"))
+        .replace("%SP%", sumDecSql("l_extendedprice"))
+        .replace("%REV%", revenueSql))),
+
+    QuerySpec("s2_latest_by_key", RelationalQueries.s2LatestByKey,
+      Some("""SELECT user_id, event_id, event_type, value, ts_us FROM (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    QuerySpec("p4_filter_dateband", RelationalQueries.p4FilterDateband,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    QuerySpec("p5_merge_union", RelationalQueries.p5MergeUnion,
+      Some(s"""SELECT event_type, count(*) AS n, ${sumDecSql("value")} AS sum_value
+        |FROM (SELECT event_type, value FROM events WHERE event_type = 'click'
+        |      UNION ALL
+        |      SELECT event_type, value FROM events WHERE event_type = 'view') u
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QuerySpec("p6_branch_route", RelationalQueries.p6BranchRoute,
+      Some(s"""SELECT route, event_type, count(*) AS n, ${sumDecSql("value")} AS sum_value
+        |FROM (SELECT CASE WHEN value >= 100 THEN 'HIGH'
+        |                  WHEN value >= 20 THEN 'MID'
+        |                  ELSE 'LOW' END AS route, event_type, value FROM events) t
+        |GROUP BY route, event_type ORDER BY route, event_type""".stripMargin)),
+
+    QuerySpec("p7_stringify", RelationalQueries.p7Stringify,
+      Some("""SELECT c_custkey,
+        |  c_name || ' (' || c_mktsegment || ') [' || n_name || ']' AS line
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QuerySpec("p2_rekey_roundtrip", RelationalQueries.p2RekeyRoundtrip,
+      Some("""SELECT c_custkey,
+        |  n_name || '-' || CAST(c_custkey AS VARCHAR) AS composite_key,
+        |  CAST(regexp_extract(n_name || '-' || CAST(c_custkey AS VARCHAR), '([0-9]+)$', 1) AS BIGINT) AS parsed_id
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QuerySpec("j_multiway_revenue", RelationalQueries.jMultiwayRevenue,
+      Some(s"""SELECT r_name, n_name, $revenueSql AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    QuerySpec("a4_out_of_nation", RelationalQueries.a4OutOfNation,
+      Some(s"""SELECT s_suppkey, count(*) AS out_cnt, $revenueSql AS out_revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey <> s_nationkey
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
+
+    QuerySpec("a1_top3_parts_per_customer", RelationalQueries.a1Top3PartsPerCustomer,
+      Some("""SELECT o_custkey, l_partkey, cnt, rank FROM (
+        |  SELECT o_custkey, l_partkey, cnt,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY cnt DESC, l_partkey) AS INT) AS rank
+        |  FROM (SELECT o_custkey, l_partkey, count(*) AS cnt
+        |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |        GROUP BY o_custkey, l_partkey) c) r
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin)),
+
+    QuerySpec("a5_top3_types_per_nation", RelationalQueries.a5Top3TypesPerNation,
+      Some("""SELECT s_nationkey, p_type, cnt, rank FROM (
+        |  SELECT s_nationkey, p_type, cnt,
+        |    CAST(row_number() OVER (PARTITION BY s_nationkey ORDER BY cnt DESC, p_type) AS INT) AS rank
+        |  FROM (SELECT s_nationkey, p_type, count(*) AS cnt
+        |        FROM lineitem
+        |        JOIN part ON l_partkey = p_partkey
+        |        JOIN supplier ON l_suppkey = s_suppkey
+        |        GROUP BY s_nationkey, p_type) c) r
+        |WHERE rank <= 3 ORDER BY s_nationkey, rank""".stripMargin)),
+
+    QuerySpec("a2_capacity_ledger", RelationalQueries.a2CapacityLedger,
+      Some("""SELECT user_id, event_id, seq,
+        |  CASE WHEN seq <= 5 THEN 'CONFIRMED' ELSE 'REJECTED' END AS status,
+        |  5 - seq AS remaining
+        |FROM (SELECT user_id, event_id,
+        |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS INT) AS seq
+        |      FROM events) t
+        |ORDER BY user_id, seq""".stripMargin)),
+
+    QuerySpec("t2_top10_customers", RelationalQueries.t2Top10Customers,
+      Some(s"""SELECT o_custkey, ${sumDecSql("o_totalprice")} AS rev, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY rev DESC, o_custkey LIMIT 10""".stripMargin)),
+
+    QuerySpec("w1_hourly_rollup", RelationalQueries.w1HourlyRollup,
+      Some(s"""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS n, ${sumDecSql("value")} AS sum_value
+        |FROM events GROUP BY hour_bucket, event_type
+        |ORDER BY hour_bucket, event_type""".stripMargin)),
+
+    // ------------------------------------------------- documents pipeline
+
+    QuerySpec("d1_exact_dedup", TextQueries.d1ExactDedup,
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin)),
+
+    QuerySpec("d2_minhash_pairs", TextQueries.d2MinhashPairs,
+      Some(s"""WITH $minhashCtes
+        |SELECT id1, id2 FROM cands ORDER BY id1, id2""".stripMargin)),
+
+    QuerySpec("d3_jaccard_dupes", TextQueries.d3JaccardDupes,
+      Some(s"""WITH $minhashCtes
+        |SELECT id1, id2, round(j, 4) AS jaccard FROM (
+        |  SELECT id1, id2,
+        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |      (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh))::DOUBLE) AS j
+        |  FROM cands JOIN shx sa ON id1 = sa.doc_id JOIN shx sb ON id2 = sb.doc_id) t
+        |WHERE j >= 0.8 ORDER BY id1, id2""".stripMargin)),
+
+    QuerySpec("d4_simhash16", TextQueries.d4Simhash, Some {
+      val sums = (0 until 16).map(j =>
+        s"list_sum(list_transform(dt, x -> CASE WHEN ((('0x' || substr(md5(x), 1, 4))::INT >> $j) & 1) = 1 THEN 1 ELSE -1 END)) AS bs$j")
+        .mkString(",\n  ")
+      val bits = (0 until 16).map(j => s"(CASE WHEN bs$j >= 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM documents),
+         |s AS (SELECT doc_id,
+         |  $sums
+         |FROM dt)
+         |SELECT doc_id, CAST($bits AS INT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+    }),
+
+    QuerySpec("t1_lang_id", TextQueries.t1LangId,
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS s_en,
+        |  len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+        |  len(list_filter(t, x -> x IN ('el','los','las','y','es'))) AS s_es,
+        |  len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS s_de
+        |FROM tk)
+        |SELECT doc_id,
+        |  CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+        |       WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+        |       WHEN s_es > 0 AND s_es = best THEN 'es'
+        |       WHEN s_de > 0 AND s_de = best THEN 'de'
+        |       ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id, s_en, s_fr, s_es, s_de,
+        |        greatest(s_en, s_fr, s_es, s_de) AS best FROM sc) b
+        |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("t3_quality_score", TextQueries.t3QualityScore,
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id,
+        |  len(t) AS n_tokens,
+        |  len(list_distinct(t)) AS n_distinct,
+        |  round((least(len(t)::DOUBLE / 100.0, 1.0)
+        |    + len(list_distinct(t))::DOUBLE / len(t)::DOUBLE
+        |    + (len(t)::DOUBLE - len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE) / len(t)::DOUBLE
+        |    ) / 3.0, 4) AS quality
+        |FROM tk ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("t4_token_counts", TextQueries.t4TokenCounts,
+      Some("""SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+'))
+        |    + len(regexp_extract_all(text, '[0-9]+'))
+        |    + len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("t5_fingerprint", TextQueries.t5Fingerprint,
+      Some("""SELECT doc_id, md5(text) AS fp,
+        |  md5(substr(text, 1, 64)
+        |    || substr(text, greatest(length(text) - 63, 1), 64)
+        |    || CAST(length(text) AS VARCHAR)) AS sfp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ embeddings pipeline
+
+    QuerySpec("e1_knn_brute", SimilarityQueries.e1KnnBrute,
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS ne FROM embeddings),
+        |s AS (SELECT q_id, n_id,
+        |        list_dot_product(qe, ne) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))) AS cos
+        |      FROM c, q WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank,
+        |        round(cos, 4) AS cos
+        |      FROM s)
+        |SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    QuerySpec("e2_knn_ivf", SimilarityQueries.e2KnnIVF,
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label AS q_cell FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS ne, label AS n_cell FROM embeddings),
+        |s AS (SELECT q_id, n_id,
+        |        list_dot_product(qe, ne) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))) AS cos
+        |      FROM c JOIN q ON q_cell = n_cell AND q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank,
+        |        round(cos, 4) AS cos
+        |      FROM s)
+        |SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    QuerySpec("e3_cos_neardup", SimilarityQueries.e3CosNeardup,
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+        |ORDER BY id1, id2""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    specs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

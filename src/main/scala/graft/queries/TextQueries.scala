@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators over the `documents` table
+  * (dedup, text analysis, fingerprinting), each with a DuckDB oracle.
+  *
+  * Each intermediate array (tokens, shingles, hashes) is projected exactly
+  * once per row — see the performance note in [[graft.operators.TextOps]].
+  */
+object TextQueries {
+
+  /** Exact dedup by content hash. */
+  def d1ExactDedup(s: SparkSession, d: String): DataFrame =
+    exactDedup(Tables.documents(s, d), "doc_id", "text")
+      .select(col("fp"), col("canonical_id"), col("dup_count"))
+      .orderBy(col("fp"))
+
+  /** MinHash-LSH candidate pairs over 3-token shingles. */
+  def d2MinhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashCandidates(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id1"), col("id2"))
+
+  /** Near-duplicate pairs: LSH candidates verified with exact shingle
+    * Jaccard ≥ 0.8. The LSH prefilter is what keeps this sub-quadratic at
+    * scale — the exact check only runs on the candidate set. */
+  def d3JaccardDupes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cands = minhashCandidates(docs, "doc_id", "text")
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), shinglesOf(col("__toks")).as("sh"))
+    cands
+      .join(sh.as("sa"), col("id1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id2") === col("sb.doc_id"))
+      .withColumn("j", jaccard(col("sa.sh"), col("sb.sh")))
+      .filter(col("j") >= 0.8)
+      .select(col("id1"), col("id2"), round(col("j"), 4).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** 16-bit SimHash per document. */
+  def d4Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("__dt"))
+      .select(col("doc_id"), tokenHashes(col("__dt")).as("__vals"))
+      .select(col("doc_id"), simhashFromHashes(col("__vals")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic language ID (stopword profiles). */
+  def t1LangId(s: SparkSession, d: String): DataFrame = {
+    val toksDf = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+    val scored = toksDf.select(col("doc_id") +:
+      langScores(col("__toks")).map { case (l, c) => c.as(s"s_$l") }: _*)
+    scored
+      .select(col("doc_id"),
+        langPick(langMarkers.map { case (l, _) => l -> col(s"s_$l") }).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length band + type-token ratio + stopword ratio. */
+  def t3QualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).as("__n"),
+        size(array_distinct(col("__toks"))).as("__d"),
+        stopwordCount(col("__toks")).as("__sw"))
+      .select(col("doc_id"),
+        col("__n").cast("long").as("n_tokens"),
+        col("__d").cast("long").as("n_distinct"),
+        qualityScore(col("__n"), col("__d"), col("__sw")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace and BPE-ish regex segmentation. */
+  def t4TokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        bpeishCount(col("text")).cast("long").as("bpeish_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Content + structural fingerprints. */
+  def t5Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        structuralFingerprint(col("text")).as("sfp"))
+      .orderBy(col("doc_id"))
+}
