@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.music.{CountEntry, TicketConfirmation, TopPerKey}
+
+/** Keyed row with an explicit arrival sequence. Kafka gave the reference
+  * per-partition arrival order for free; Spark's group iterator has no
+  * ordering guarantee (SURVEY §4.2), so every order-sensitive stateful op
+  * here takes records that carry their own sequence number and sorts each
+  * micro-batch's group slice before folding it into state. */
+final case class Keyed[V](key: String, seq: Long, value: V)
+
+/** A ticket request as seen by the capacity ledger: already joined to its
+  * event so it carries the capacity (stream-static join upstream). */
+final case class TicketReq(
+    ticketId: String, customerid: String, eventid: String,
+    capacity: Int, seq: Long)
+
+/** Running per-key state of the capacity countdown, mirroring the
+  * reference's EventStatus (samples/PurchaseEventTicket.java:180-217). */
+final case class LedgerState(remaining: Double, totalRequested: Double)
+
+/** Counter-map state for ordered top-K: per member, (count, firstSeenIdx);
+  * `nextIdx` reproduces the reference counter's insertion order so ties
+  * sort stably (samples/TopCustomerArtists.java:108-117). Capped at
+  * `maxSize` entries like the reference's SortedCounterMap(1000). */
+final case class CounterState(counts: Map[String, (Long, Long)], nextIdx: Long)
+
+/** Stateful streaming operators (Structured Streaming,
+  * `mapGroupsWithState`/`flatMapGroupsWithState`) — the three places the
+  * reference's semantics genuinely need running state rather than a
+  * declarative aggregate (SURVEY §7.3).
+  *
+  * All of these also run in batch mode (Spark executes the same function
+  * with all data as one group), which is how the deterministic specs drive
+  * them; streaming specs feed MemoryStream micro-batches.
+  *
+  * Scale: state lives in the Structured Streaming state store (RocksDB
+  * provider in production — SURVEY §4.2); keys partition across executors
+  * by hash, so state size per executor is bounded by key skew, not total
+  * volume. The reference never evicts state; `GroupStateTimeout` hooks are
+  * where TTL plugs in without changing default parity semantics
+  * (SURVEY §7.4.6).
+  */
+object StatefulOps {
+
+  /** KTable semantics over a stream: latest value per key by sequence
+    * number (SURVEY §2.1 S2). Update-mode emission per key per batch. */
+  def latestByKey[V](ds: Dataset[Keyed[V]])(implicit enc: Encoder[Keyed[V]]): Dataset[Keyed[V]] =
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .mapGroupsWithState[Keyed[V], Keyed[V]](GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Keyed[V]], state: GroupState[Keyed[V]]) =>
+          val candidates = state.getOption.iterator ++ rows
+          val latest = candidates.maxBy(_.seq)
+          state.update(latest)
+          latest
+      }
+
+  /** Running count per key with per-batch update emission (SURVEY §2.5 A6;
+    * the reference emits per record because its cache is disabled — a
+    * micro-batch engine coarsens that to per-batch, SURVEY §7.4.1). */
+  def runningCount(ds: Dataset[Keyed[String]]): Dataset[(String, Long)] = {
+    implicit val tupleEnc: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Keyed[String]], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (key, n)
+      }
+  }
+
+  /** The capacity-countdown ledger (SURVEY §2.5 A2) as true running state:
+    * each request gets its own CONFIRMED/REJECTED verdict from the
+    * remaining count at its arrival position — the one reference behavior
+    * a declarative aggregate can't express (per-record emission from
+    * order-sensitive state). Each batch's slice of a group is sorted by
+    * `seq` before folding — Spark does not order the group iterator. */
+  def capacityLedger(ds: Dataset[TicketReq]): Dataset[TicketConfirmation] = {
+    implicit val outEnc: Encoder[TicketConfirmation] = Encoders.product[TicketConfirmation]
+    implicit val stateEnc: Encoder[LedgerState] = Encoders.product[LedgerState]
+    ds.groupByKey(_.eventid)(Encoders.STRING)
+      .flatMapGroupsWithState[LedgerState, TicketConfirmation](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (eventid: String, rows: Iterator[TicketReq], state: GroupState[LedgerState]) =>
+          val ordered = rows.toSeq.sortBy(_.seq)
+          var st = state.getOption.getOrElse(
+            LedgerState(ordered.headOption.map(_.capacity.toDouble).getOrElse(0.0), 0.0))
+          val out = ordered.map { t =>
+            st = LedgerState(st.remaining - 1, st.totalRequested + 1)
+            val status = if (st.remaining >= 0) "CONFIRMED" else "REJECTED"
+            TicketConfirmation(t.ticketId, t.customerid, eventid, status, st.remaining)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Ordered top-K counter per key (SURVEY §2.5 A1/A5 + §2.6 T1/T2):
+    * reproduces the reference SortedCounterMap semantics — count desc,
+    * ties by first-increment order, capped state size — emitting the
+    * updated top-K per key per batch. */
+  def topKCounter(
+      ds: Dataset[Keyed[String]], k: Int, maxSize: Int = 1000): Dataset[TopPerKey] = {
+    implicit val outEnc: Encoder[TopPerKey] = Encoders.product[TopPerKey]
+    implicit val stateEnc: Encoder[CounterState] = Encoders.product[CounterState]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .mapGroupsWithState[CounterState, TopPerKey](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Keyed[String]], state: GroupState[CounterState]) =>
+          var st = state.getOption.getOrElse(CounterState(Map.empty, 0L))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            val member = r.value
+            val (cnt, idx) = st.counts.getOrElse(member, (0L, st.nextIdx))
+            val bumpedNext = if (cnt == 0L) st.nextIdx + 1 else st.nextIdx
+            st = CounterState(st.counts.updated(member, (cnt + 1, idx)), bumpedNext)
+          }
+          if (st.counts.size > maxSize) {
+            val kept = st.counts.toSeq
+              .sortBy { case (_, (cnt, idx)) => (-cnt, idx) }
+              .take(maxSize)
+            st = CounterState(kept.toMap, st.nextIdx)
+          }
+          state.update(st)
+          val top = st.counts.toSeq
+            .sortBy { case (_, (cnt, idx)) => (-cnt, idx) }
+            .take(k)
+            .map { case (m, (cnt, _)) => CountEntry(m, cnt) }
+          TopPerKey(key, top)
+      }
+  }
+}
