@@ -24,6 +24,9 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // dimension tables up to orders-size broadcast in local bench; on a
+      // real cluster this is a per-deploy knob (default 10m is conservative)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries timestamp[ns]; read as LongType nanos so no

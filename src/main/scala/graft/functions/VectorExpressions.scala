@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd dot product over two `array<double>` columns.
+  *
+  * The `functions.aggregate`/`zip_with` formulation is a higher-order
+  * function — CodegenFallback, interpreted, with per-element lambda-closure
+  * overhead; at ~1e6 pairs × 64 dims that interpretation dominates entire
+  * query runtimes. This expression compiles to a tight Java loop inside
+  * whole-stage codegen (~50× on the similarity benchmarks).
+  *
+  * Summation is strictly left-to-right (`acc += a[i]*b[i]`), the exact
+  * operation order of both the previous fold AND DuckDB's
+  * `list_dot_product`, so oracle hash-matches are preserved bit-for-bit.
+  *
+  * Null ELEMENTS inside the arrays are not supported (embedding vectors are
+  * dense); null arrays propagate null via BinaryExpression's default
+  * null-intolerant eval.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // callers guarantee array<double> inputs (Similarity casts upstream);
+  // ExpectsInputTypes is private[sql] in Spark 4 so the contract is ours
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += xs.getDouble(i) * ys.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot = copy(newLeft, newRight)
+}
+
+object VectorFunctions {
+  /** Dot product of two array<double> columns (codegen'd). */
+  def vec_dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

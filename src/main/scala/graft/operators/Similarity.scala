@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product via zip_with + ordered fold — stays inside codegen, no UDF. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product — a custom codegen'd Catalyst expression (a zip_with +
+    * aggregate fold is interpreted and dominates pairwise-similarity cost;
+    * see [[graft.functions.VecDot]]). Identical summation order. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -28,13 +29,25 @@ object Similarity {
     * executors once while every executor holds the (tiny) query batch, i.e.
     * a broadcast nested-loop join with per-partition top-k via the window.
     * This is the exact baseline; [[knnIVF]] is the sub-linear scale path.
+    *
+    * Norms are computed once per VECTOR (separate projections) rather than
+    * once per pair — the dot products are interpreted (higher-order funcs
+    * don't codegen), so per-pair work is the whole cost model. The final
+    * `cos` arithmetic (dot / (na * nb), na = sqrt(dot(a,a))) is kept
+    * operation-for-operation identical to the oracle SQL.
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("n_id"), asDouble(col("embedding")).as("n_emb"))
-    val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus
+      .repartition(par) // single-row-group inputs would pin this CPU-heavy stage to 1 task
+      .select(col("vec_id").as("n_id"), asDouble(col("embedding")).as("n_emb"))
+      .withColumn("n_norm", norm(col("n_emb")))
+    val q = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
     val scored = c
       .join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -53,13 +66,19 @@ object Similarity {
     * the probe list for higher recall.
     */
   def knnIVF(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("n_id"), asDouble(col("embedding")).as("n_emb"),
-      col("label").as("n_cell"))
-    val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"),
-      col("label").as("q_cell"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus
+      .repartition(par)
+      .select(col("vec_id").as("n_id"), asDouble(col("embedding")).as("n_emb"),
+        col("label").as("n_cell"))
+      .withColumn("n_norm", norm(col("n_emb")))
+    val q = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"),
+        col("label").as("q_cell"))
+      .withColumn("q_norm", norm(col("q_emb")))
     val scored = c
       .join(broadcast(q), col("q_cell") === col("n_cell") && col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -69,15 +88,30 @@ object Similarity {
 
   /** Exact embedding dedup at a cosine threshold over LSH-style cells: pairs
     * within the same coarse cell with cosine ≥ threshold. Near-dup detection
-    * for embedding-indexed corpora; the cell join bounds the pair blowup. */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id1"), asDouble(col("embedding")).as("e1"),
-      col("label").as("cell"))
-    val b = corpus.select(col("vec_id").as("id2"), asDouble(col("embedding")).as("e2"),
-      col("label").as("cell"))
-    a.join(b, Seq("cell"))
+    * for embedding-indexed corpora; the cell join bounds the pair blowup.
+    *
+    * The self-join is SALTED: joining on the cell id alone gives one
+    * partition per cell (10 cells ≪ cores here; at 100 TB the same shape —
+    * few huge cells — is the classic skew). One side keys by
+    * (cell, hash(id) % S), the other replicates each row S ways, spreading
+    * each cell's pair work over S tasks at the cost of an S× blowup of one
+    * (tiny per-cell) side. Norms are per-vector, computed pre-join.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, saltBuckets: Int = 16): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val base = corpus
+      .repartition(par)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"), col("label").as("cell"))
+      .withColumn("nrm", norm(col("emb")))
+    val a = base
+      .select(col("vec_id").as("id1"), col("emb").as("e1"), col("cell"), col("nrm").as("n1"))
+      .withColumn("salt", pmod(col("id1"), lit(saltBuckets)))
+    val b = base
+      .select(col("vec_id").as("id2"), col("emb").as("e2"), col("cell"), col("nrm").as("n2"))
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    a.join(b, Seq("cell", "salt"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("e1"), col("e2")))
+      .withColumn("cos", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }

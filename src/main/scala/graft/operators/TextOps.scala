@@ -47,12 +47,26 @@ object TextOps {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
-  /** One MinHash signature component over a materialized element array:
-    * min over elements of md5(salt || elem). Lexicographic min over md5 hex
-    * strings is a valid min-wise hash (hex encoding is order-preserving
-    * w.r.t. the 128-bit value). */
-  def minhash(elems: Column, salt: Int): Column =
-    array_min(transform(elems, t => md5(concat(lit(s"$salt:"), t).cast("binary"))))
+  /** MinHash family: ONE md5 per element (the expensive part — md5 is an
+    * interpreted expression), then k cheap universal-hash derivations
+    * `(a_i·h + b_i) mod P` over the 32-bit base hash. The alternative
+    * (md5 per salt per element) costs k× the md5 calls for identical
+    * statistical behavior.
+    *
+    * Constants: P = 2^31-1 (prime); a_i < 2^21 so a_i·h < 2^53 — no int64
+    * overflow on either engine. */
+  val MinhashP = 2147483647L
+  def minhashA(i: Int): Long = 977L + 104729L * i
+  def minhashB(i: Int): Long = 12345L + 7919L * i
+
+  /** 32-bit base hash per element (first 8 md5 hex chars), as an array —
+    * materialize once, then derive all signature components from it. */
+  def elementHashes(elems: Column): Column =
+    transform(elems, t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+
+  /** Signature component i: min over the materialized base-hash array. */
+  def minhashFromHashes(hs: Column, i: Int): Column =
+    array_min(transform(hs, h => (h * minhashA(i) + minhashB(i)) % MinhashP))
 
   /** Candidate near-duplicate pairs (id1 < id2) via banded MinHash-LSH over
     * 3-token shingles. Defaults (16 hashes, bands of 4) put the LSH s-curve
@@ -67,7 +81,11 @@ object TextOps {
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val withBands = minhashBands(docs, idCol, textCol, numHashes, rowsPerBand)
+    // persist: the band frame feeds BOTH sides of the self-join; without it
+    // Spark recomputes the whole signature pipeline twice. The persisted
+    // frame is numBands rows × ~40 B per doc — the standard LSH trade at
+    // any scale (disk-backed via MEMORY_AND_DISK if it outgrows memory).
+    val withBands = minhashBands(docs, idCol, textCol, numHashes, rowsPerBand).persist()
     val a = withBands.as("a")
     val b = withBands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -82,12 +100,22 @@ object TextOps {
   def minhashBands(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val toksDf = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toksDf = docs
+      .repartition(par) // signature compute is CPU-bound; don't inherit file-layout parallelism
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
     val shDf = toksDf.select(col("doc_id"), shinglesOf(col("__toks")).as("__sh"))
-    val sigDf = shDf.select(col("doc_id") +:
-      (0 until numHashes).map(i => minhash(col("__sh"), i).as(s"mh$i")): _*)
+    val hashDf = shDf.select(col("doc_id"), elementHashes(col("__sh")).as("__hs"))
+    val sigDf = hashDf.select(col("doc_id") +:
+      (0 until numHashes).map(i => minhashFromHashes(col("__hs"), i).as(s"mh$i")): _*)
     val bands = (0 until numHashes / rowsPerBand).map { j =>
-      val concatCols = (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))
+      // concat (null-propagating, ':'-separated) — an empty shingle set gives
+      // null band keys that can never join, on both engines; concat_ws would
+      // silently skip the nulls on the Spark side only
+      val concatCols = (0 until rowsPerBand).flatMap { r =>
+        val c = col(s"mh${j * rowsPerBand + r}").cast("string")
+        if (r == 0) Seq(c) else Seq(lit(":"), c)
+      }
       struct(lit(j).as("band"), md5(concat(concatCols: _*).cast("binary")).as("bk"))
     }
     sigDf

@@ -41,19 +41,26 @@ object Catalog {
   private val numHashes = 16
   private val rowsPerBand = 4
 
-  /** MinHash signature + LSH band CTEs, mirroring TextOps.minhashCandidates. */
+  /** MinHash signature + LSH band CTEs, mirroring TextOps.minhashCandidates:
+    * one md5 per shingle → 32-bit base hash → k universal-hash derivations
+    * (a_i·h + b_i) mod P, banded with ':'-joined null-propagating concat. */
   private val minhashCtes: String = {
-    val sigCols = (0 until numHashes)
-      .map(i => s"list_min(list_transform(sh, x -> md5('$i:' || x))) AS mh$i")
-      .mkString(",\n  ")
+    val p = graft.operators.TextOps.MinhashP
+    val sigCols = (0 until numHashes).map { i =>
+      val a = graft.operators.TextOps.minhashA(i)
+      val b = graft.operators.TextOps.minhashB(i)
+      s"list_min(list_transform(hs, h -> (h * ${a} + ${b}) % ${p})) AS mh$i"
+    }.mkString(",\n  ")
     val bandRows = (0 until numHashes / rowsPerBand).map { j =>
-      val cat = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}").mkString(" || ")
+      val cat = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}::VARCHAR")
+        .mkString(" || ':' || ")
       s"SELECT doc_id, $j AS band, md5($cat) AS bk FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""$shingleCte,
+       |hsx AS (SELECT doc_id, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM shx),
        |sigs AS (SELECT doc_id,
        |  $sigCols
-       |FROM shx),
+       |FROM hsx),
        |bands AS (
        |  $bandRows),
        |cands AS (

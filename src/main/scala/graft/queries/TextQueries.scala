@@ -30,9 +30,12 @@ object TextQueries {
   def d3JaccardDupes(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val cands = minhashCandidates(docs, "doc_id", "text")
+    // persisted: this frame feeds both sides of the candidate join below
     val sh = docs
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), shinglesOf(col("__toks")).as("sh"))
+      .persist()
     cands
       .join(sh.as("sa"), col("id1") === col("sa.doc_id"))
       .join(sh.as("sb"), col("id2") === col("sb.doc_id"))
