@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.GraftExtensions
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+final case class Evt(ts: Timestamp, event_type: String, value: Double)
+
+class WindowedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingRollup (streaming) aggregates into hour windows with watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = WindowedOps.tumblingRollup(in.toDF(), "ts", "event_type", "value")
+      .writeStream.format("memory").queryName("win_out").outputMode("update").start()
+    try {
+      in.addData(
+        Evt(t("2024-01-01 10:05:00"), "click", 1.0),
+        Evt(t("2024-01-01 10:55:00"), "click", 2.0),
+        Evt(t("2024-01-01 11:05:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("window_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().sortBy(_._1.getTime)
+      assert(rows.map(r => (r._1.toString, r._3, r._4)).toSeq ==
+        Seq(("2024-01-01 10:00:00.0", 2L, 3.0), ("2024-01-01 11:00:00.0", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionRollup groups by inactivity gap (append mode, watermark close)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    // session windows only support append mode: a session emits once the
+    // watermark passes its end
+    val q = WindowedOps.sessionRollup(in.toDF(), "ts", "event_type", gap = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      in.addData(
+        Evt(t("2024-01-01 10:00:00"), "click", 1.0),
+        Evt(t("2024-01-01 10:05:00"), "click", 1.0), // same session
+        Evt(t("2024-01-01 10:30:00"), "click", 1.0)) // gap > 10min → new session
+      q.processAllAvailable()
+      // advance the watermark (1h) beyond both session ends → they finalize
+      in.addData(Evt(t("2024-01-01 13:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Evt(t("2024-01-01 15:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[(Timestamp, Timestamp, String, Long)]
+        .collect().sortBy(_._1.getTime)
+      assert(rows.length >= 2)
+      assert(rows.head._4 == 2L) // 10:00+10:05 in one session
+      assert(rows(1)._4 == 1L)   // 10:30 alone
+    } finally q.stop()
+  }
+
+  test("vec_dot registers as a SQL function (GraftExtensions builder)") {
+    val (ident, info, builder) = GraftExtensions.vecDot
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+  }
+}
