@@ -79,4 +79,12 @@ object Relational {
     * Final results cast back to double for a stable output schema.
     */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Display rounding to 4 dp via `floor(x·10⁴ + 0.5)/10⁴` — pure IEEE
+    * multiply/add/floor/divide, so Spark and DuckDB agree bit-for-bit.
+    * The engines' native `round(x, 4)` functions disagree at half-boundaries
+    * (Spark: BigDecimal HALF_UP on the exact double; DuckDB: scaled
+    * multiply) — observed as a 0.7263-vs-0.7262 oracle mismatch at sf0.1. */
+  def round4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
 }

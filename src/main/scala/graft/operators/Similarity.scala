@@ -52,7 +52,7 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), Relational.round4(col("cos")).as("cos"))
   }
 
   /** IVF-style ANN: the corpus carries a coarse partition assignment (here
@@ -83,7 +83,7 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), Relational.round4(col("cos")).as("cos"))
   }
 
   /** Exact embedding dedup at a cosine threshold over LSH-style cells: pairs
@@ -113,6 +113,6 @@ object Similarity {
       .filter(col("id1") < col("id2"))
       .withColumn("cos", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
-      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+      .select(col("id1"), col("id2"), Relational.round4(col("cos")).as("cos"))
   }
 }

@@ -192,7 +192,7 @@ object TextOps {
     val lenScore = least(n / lit(100.0), lit(1.0))
     val ttr = d / n
     val nonStop = (n - sw) / n
-    round((lenScore + ttr + nonStop) / lit(3.0), 4)
+    Relational.round4((lenScore + ttr + nonStop) / lit(3.0))
   }
 
   /** BPE-ish token estimate: alpha runs, digit runs, other non-space symbols

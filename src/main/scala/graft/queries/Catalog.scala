@@ -198,7 +198,7 @@ object Catalog {
 
     QuerySpec("d3_jaccard_dupes", TextQueries.d3JaccardDupes,
       Some(s"""WITH $minhashCtes
-        |SELECT id1, id2, round(j, 4) AS jaccard FROM (
+        |SELECT id1, id2, floor(j * 10000 + 0.5) / 10000 AS jaccard FROM (
         |  SELECT id1, id2,
         |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
         |      (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh))::DOUBLE) AS j
@@ -241,10 +241,10 @@ object Catalog {
         |SELECT doc_id,
         |  len(t) AS n_tokens,
         |  len(list_distinct(t)) AS n_distinct,
-        |  round((least(len(t)::DOUBLE / 100.0, 1.0)
+        |  floor((least(len(t)::DOUBLE / 100.0, 1.0)
         |    + len(list_distinct(t))::DOUBLE / len(t)::DOUBLE
         |    + (len(t)::DOUBLE - len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE) / len(t)::DOUBLE
-        |    ) / 3.0, 4) AS quality
+        |    ) / 3.0 * 10000 + 0.5) / 10000 AS quality
         |FROM tk ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("t4_token_counts", TextQueries.t4TokenCounts,
@@ -272,7 +272,7 @@ object Catalog {
         |      FROM c, q WHERE q_id <> n_id),
         |r AS (SELECT q_id, n_id,
         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank,
-        |        round(cos, 4) AS cos
+        |        floor(cos * 10000 + 0.5) / 10000 AS cos
         |      FROM s)
         |SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
@@ -284,14 +284,14 @@ object Catalog {
         |      FROM c JOIN q ON q_cell = n_cell AND q_id <> n_id),
         |r AS (SELECT q_id, n_id,
         |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank,
-        |        round(cos, 4) AS cos
+        |        floor(cos * 10000 + 0.5) / 10000 AS cos
         |      FROM s)
         |SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     QuerySpec("e3_cos_neardup", SimilarityQueries.e3CosNeardup,
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+        |  floor(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) * 10000 + 0.5) / 10000 AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
         |ORDER BY id1, id2""".stripMargin))

@@ -41,7 +41,7 @@ object TextQueries {
       .join(sh.as("sb"), col("id2") === col("sb.doc_id"))
       .withColumn("j", jaccard(col("sa.sh"), col("sb.sh")))
       .filter(col("j") >= 0.8)
-      .select(col("id1"), col("id2"), round(col("j"), 4).as("jaccard"))
+      .select(col("id1"), col("id2"), graft.operators.Relational.round4(col("j")).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
 

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Seeded property-style tests for the dedup/text operator algebra
+  * (SURVEY §5 "Our strategy": property tests for the counter/top-K and
+  * hashing operators). Deterministic seeds — rerunning cannot flake. */
+class TextOpsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private val vocab = Vector("spark", "scan", "join", "filter", "agg", "sort",
+    "hash", "merge", "stream", "batch", "row", "column", "the", "a", "dup")
+
+  private def randText(n: Int): String =
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("jaccard is 1 on self, symmetric, and within [0,1]") {
+    val docs = (0 until 30).map(i => (i.toLong, randText(20 + rnd.nextInt(40)))).toDF("doc_id", "text")
+    val sh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), TextOps.shinglesOf(col("t")).as("sh"))
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        TextOps.jaccard(col("a.sh"), col("b.sh")).as("jab"),
+        TextOps.jaccard(col("b.sh"), col("a.sh")).as("jba"))
+      .collect()
+    pairs.foreach { r =>
+      val (i, j, jab, jba) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(jab >= 0.0 && jab <= 1.0, s"jaccard($i,$j)=$jab out of range")
+      assert(jab == jba, "jaccard not symmetric")
+      if (i == j) assert(jab == 1.0, s"self-jaccard($i)=$jab")
+    }
+  }
+
+  test("minhash LSH: exact duplicates are always candidates; candidates contain all high-jaccard pairs") {
+    // plant exact dups and near-dups among noise
+    val base = randText(60)
+    val nearDup = base.split(" ").updated(5, "XX").mkString(" ")
+    val docs = ((0 until 40).map(i => (i.toLong, randText(60))) ++
+      Seq((100L, base), (101L, base), (102L, nearDup))).toDF("doc_id", "text")
+    val cands = TextOps.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((100L, 101L)), "exact duplicate pair missed by LSH")
+    assert(cands.contains((100L, 102L)) && cands.contains((101L, 102L)),
+      "0.9-jaccard near-dup pair missed by LSH (16 hashes / 4 bands)")
+  }
+
+  test("exactDedup: dup_count sums to corpus size, canonical is min id per group") {
+    val docs = (0 until 50).map(i => (i.toLong, s"text-${i % 17}")).toDF("doc_id", "text")
+    val out = TextOps.exactDedup(docs, "doc_id", "text")
+      .select("canonical_id", "dup_count").as[(Long, Long)].collect()
+    assert(out.map(_._2).sum == 50)
+    assert(out.length == 17)
+    // canonical of group g is the smallest id with that text: g itself
+    assert(out.map(_._1).sorted.toSeq == (0L until 17L))
+  }
+
+  test("topKPerGroup returns the true top-k with dense ranks 1..k") {
+    val rows = for {
+      g <- 0 until 10; m <- 0 until 20
+      n = 1 + ((g * 7 + m * 13) % 29)
+      r <- 0 until n
+    } yield (s"g$g", s"m$m")
+    val counted = rows.toDF("g", "m").groupBy("g", "m").agg(count(lit(1)).as("cnt"))
+    val top = Relational.topKPerGroup(counted, Seq("g"), Seq(col("cnt").desc, col("m").asc), 3)
+      .select("g", "m", "cnt", "rank").as[(String, String, Long, Int)].collect()
+    val byG = top.groupBy(_._1)
+    assert(byG.size == 10)
+    byG.foreach { case (g, items) =>
+      assert(items.map(_._4).sorted.toSeq == Seq(1, 2, 3), s"ranks wrong for $g")
+      // brute-force expected top-3
+      val expected = (0 until 20).map(m => (s"m$m", 1L + ((g.drop(1).toInt * 7 + m * 13) % 29)))
+        .sortBy { case (m, c) => (-c, m) }.take(3).map(_._2)
+      assert(items.sortBy(_._4).map(_._3).toSeq == expected, s"top-3 counts wrong for $g")
+    }
+  }
+
+  test("capacityLedger confirms exactly min(capacity, n) per key") {
+    val rows = for (k <- 0 until 8; i <- 0 until (k * 3 % 11) + 1)
+      yield (s"k$k", i.toLong)
+    val df = rows.toDF("key", "seq")
+    val out = Relational.capacityLedger(df, "key", Seq(col("seq").asc), 5)
+      .select("key", "status").as[(String, String)].collect()
+    out.groupBy(_._1).foreach { case (k, vs) =>
+      val n = vs.length
+      val confirmed = vs.count(_._2 == "CONFIRMED")
+      assert(confirmed == math.min(5, n), s"$k: $confirmed confirmed of $n")
+    }
+  }
+}
