@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Sink-side routing (SURVEY §2.3 P6, §2.2): the reference's
+  * `split().branch(...)` fans one stream into N topic sinks
+  * (samples/PurchaseEventTicket.java:97-158). In Spark the routing column
+  * is computed once and the fan-out happens at the sink:
+  *
+  *  - batch: [[writeRoutedBatch]] — one pass, partitioned output dirs;
+  *  - streaming: [[routedForeachBatch]] — `foreachBatch` writes every route
+  *    from the SAME micro-batch DataFrame, which is what gives multi-sink
+  *    atomicity per batch (all routes see one consistent snapshot; N
+  *    separate `writeStream`s would re-read the source N times and could
+  *    diverge).
+  *
+  * At scale, `partitionBy(route)` writes each route's files under its own
+  * directory in the single pass — no per-route job, no extra shuffle.
+  */
+object Sinks {
+
+  /** Batch fan-out: one scan, `partitionBy` on the routing column. */
+  def writeRoutedBatch(df: DataFrame, routeCol: String, baseDir: String): Unit =
+    df.write.mode("overwrite").partitionBy(routeCol).parquet(baseDir)
+
+  /** Streaming fan-out with per-batch atomicity: every route is written
+    * from one cached micro-batch snapshot. */
+  def routedForeachBatch(
+      ds: DataFrame, routeCol: String)(
+      write: (String, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val cached = batch.persist()
+      try {
+        val routes = cached.select(col(routeCol)).distinct()
+          .collect().map(_.getString(0))
+        routes.foreach { r =>
+          write(r, cached.filter(col(routeCol) === r), batchId)
+        }
+      } finally { cached.unpersist(); () }
+    }
+}
