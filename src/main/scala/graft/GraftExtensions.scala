@@ -24,5 +24,10 @@ object GraftExtensions {
   val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new IllegalArgumentException(
+          s"vec_dot requires exactly 2 arguments, got ${children.length}")
+      VecDot(children(0), children(1))
+    })
 }

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Codegen'd dot product over two `array<double>` columns.
   *
@@ -25,8 +26,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // callers guarantee array<double> inputs (Similarity casts upstream);
-  // ExpectsInputTypes is private[sql] in Spark 4 so the contract is ours
+  // ExpectsInputTypes is private[sql] in Spark 4, so enforce the contract
+  // via checkInputDataTypes: without it, an int array would be read with
+  // getDouble at wrong offsets — silent garbage, not an error
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 

@@ -20,14 +20,19 @@ object Topologies {
     *
     * The reference's counter map re-sorts on every record with a stable
     * sort, so ties keep earlier-*incremented* entries first; the batch
-    * equivalent of that tie order is "first listen seen first", which we
-    * make explicit and deterministic with `first_seen` = min listen id.
+    * equivalent of that tie order is "first listen seen first", made
+    * explicit via `first_seen` = min(arrivalCol). `arrivalCol` MUST be
+    * monotone in arrival order (a Kafka offset, an ingest sequence) — the
+    * default listen id is only valid where ids are assigned monotonically
+    * AND compare correctly (fixed-width); variable-width string ids sort
+    * lexicographically ("l10" < "l2") and would break tie order.
     * Output is an ordered array (Spark maps are unordered — SURVEY §1.4).
     */
-  def topCustomerArtists(listens: DataFrame, k: Int = 3): DataFrame = {
+  def topCustomerArtists(
+      listens: DataFrame, k: Int = 3, arrivalCol: Column = col("id")): DataFrame = {
     val counted = listens
       .groupBy(col("customerid"), col("artistid"))
-      .agg(count(lit(1)).as("cnt"), min(col("id")).as("first_seen"))
+      .agg(count(lit(1)).as("cnt"), min(arrivalCol).as("first_seen"))
     val w = Window.partitionBy(col("customerid"))
       .orderBy(col("cnt").desc, col("first_seen").asc)
     counted

@@ -103,6 +103,9 @@ object Multimodal {
       .select(col("media_id"),
         posexplode(split(col("payload").cast("string"), s"(?<=\\G.{$stride})")))
       .withColumnRenamed("pos", "frame_no")
+      // split keeps a trailing empty slice when length % stride == 0 (the
+      // zero-width delimiter matches at end-of-input) — not a real frame
+      .filter(length(col("col")) > 0)
       .select(col("media_id"), col("frame_no"), col("col").cast("binary").as("frame_bytes"))
   }
 

@@ -80,12 +80,16 @@ object TextOps {
     */
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    candidatesFromBands(minhashBands(docs, idCol, textCol, numHashes, rowsPerBand))
+
+  /** Self-join of a band frame into candidate pairs (id1 < id2). */
+  def candidatesFromBands(bandFrame: DataFrame): DataFrame = {
     // persist: the band frame feeds BOTH sides of the self-join; without it
     // Spark recomputes the whole signature pipeline twice. The persisted
     // frame is numBands rows × ~40 B per doc — the standard LSH trade at
     // any scale (disk-backed via MEMORY_AND_DISK if it outgrows memory).
-    val withBands = minhashBands(docs, idCol, textCol, numHashes, rowsPerBand).persist()
+    val withBands = bandFrame.persist()
     val a = withBands.as("a")
     val b = withBands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -94,18 +98,29 @@ object TextOps {
       .distinct()
   }
 
+  /** (doc_id, sh) distinct-shingle frame — the shared upstream of both the
+    * LSH banding and the exact-Jaccard verification. Compute (and persist)
+    * it ONCE per pipeline: the tokenize→shingle pass is the dominant
+    * corpus-wide CPU cost. */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      .repartition(par) // CPU-bound; don't inherit file-layout parallelism
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), shinglesOf(col("__toks")).as("sh"))
+  }
+
   /** (doc_id, band, bk) rows: one per LSH band per doc. Each intermediate
     * (tokens, shingles, signature components) is projected once so the
     * interpreted lambdas never re-evaluate an upstream subtree. */
   def minhashBands(
       docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val toksDf = docs
-      .repartition(par) // signature compute is CPU-bound; don't inherit file-layout parallelism
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-    val shDf = toksDf.select(col("doc_id"), shinglesOf(col("__toks")).as("__sh"))
-    val hashDf = shDf.select(col("doc_id"), elementHashes(col("__sh")).as("__hs"))
+      numHashes: Int, rowsPerBand: Int): DataFrame =
+    bandsFromShingles(shingleFrame(docs, idCol, textCol), numHashes, rowsPerBand)
+
+  /** Band keys from a (possibly persisted) shingle frame. */
+  def bandsFromShingles(shDf: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val hashDf = shDf.select(col("doc_id"), elementHashes(col("sh")).as("__hs"))
     val sigDf = hashDf.select(col("doc_id") +:
       (0 until numHashes).map(i => minhashFromHashes(col("__hs"), i).as(s"mh$i")): _*)
     val bands = (0 until numHashes / rowsPerBand).map { j =>

@@ -29,13 +29,10 @@ object TextQueries {
     * scale — the exact check only runs on the candidate set. */
   def d3JaccardDupes(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val cands = minhashCandidates(docs, "doc_id", "text")
-    // persisted: this frame feeds both sides of the candidate join below
-    val sh = docs
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), shinglesOf(col("__toks")).as("sh"))
-      .persist()
+    // ONE shingle pass feeds both the LSH banding and the exact-Jaccard
+    // verification join (the tokenize→shingle pass dominates corpus CPU)
+    val sh = shingleFrame(docs, "doc_id", "text").persist()
+    val cands = candidatesFromBands(bandsFromShingles(sh, 16, 4))
     cands
       .join(sh.as("sa"), col("id1") === col("sa.doc_id"))
       .join(sh.as("sb"), col("id2") === col("sb.doc_id"))

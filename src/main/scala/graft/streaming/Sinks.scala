@@ -34,9 +34,14 @@ object Sinks {
       val cached = batch.persist()
       try {
         val routes = cached.select(col(routeCol)).distinct()
-          .collect().map(_.getString(0))
+          .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
         routes.foreach { r =>
-          write(r, cached.filter(col(routeCol) === r), batchId)
+          // null-safe match: a null route (e.g. from a left-join miss) must
+          // still reach a sink — `=== null` would silently drop those rows
+          val slice =
+            if (r == null) cached.filter(col(routeCol).isNull)
+            else cached.filter(col(routeCol) === r)
+          write(r, slice, batchId)
         }
       } finally { cached.unpersist(); () }
     }

@@ -61,14 +61,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"PASS {name} ({len(s)} rows)")
             n_pass += 1
         else:
-            # locate first differing cell for debugging
+            # locate first differing cell for debugging; a column can differ
+            # only in dtype (values equal), so guard the empty-index case
             diff_cols = [c for c in s.columns if not s[c].equals(d[c])]
             detail = []
             for c in diff_cols[:3]:
-                neq = s[c] != d[c]
-                idx = neq[neq].index[0]
-                detail.append(f"{c}[{idx}]: spark={s[c][idx]!r} duck={d[c][idx]!r}")
-            # check dtype mismatches
+                try:
+                    neq = s[c] != d[c]
+                    hits = neq[neq].index
+                    if len(hits):
+                        idx = hits[0]
+                        detail.append(f"{c}[{idx}]: spark={s[c][idx]!r} duck={d[c][idx]!r}")
+                    else:
+                        detail.append(f"{c}: values equal, dtype-only diff")
+                except Exception as e:
+                    detail.append(f"{c}: diff-report error {e}")
             dt = {c: (str(s[c].dtype), str(d[c].dtype)) for c in s.columns
                   if str(s[c].dtype) != str(d[c].dtype)}
             print(f"FAIL {name}: value diff in {diff_cols} | {'; '.join(detail)} | dtypes {dt}")
