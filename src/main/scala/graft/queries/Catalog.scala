@@ -180,6 +180,10 @@ object Catalog {
         |FROM orders GROUP BY o_custkey
         |ORDER BY rev DESC, o_custkey LIMIT 10""".stripMargin)),
 
+    QuerySpec("a6_distinct_users", RelationalQueries.a6DistinctUsers,
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QuerySpec("w1_hourly_rollup", RelationalQueries.w1HourlyRollup,
       Some(s"""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  count(*) AS n, ${sumDecSql("value")} AS sum_value

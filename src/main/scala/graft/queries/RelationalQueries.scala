@@ -191,6 +191,17 @@ object RelationalQueries {
       .orderBy(col("rev").desc, col("o_custkey").asc)
       .limit(10)
 
+  /** Distinct-cardinality aggregate (beyond the reference, which counts
+    * only rows): exact distinct users per event type. At 100 TB switch to
+    * approx_count_distinct (HLL) — exact distinct is a full shuffle of the
+    * distinct pairs; both forms share this plan shape. */
+  def a6DistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Hourly rollup (beyond the reference: event-time tumbling window, the
     * batch twin of the streaming windowed aggregate). Integer nano math on
     * both engines — no timestamp-precision hazard. */
