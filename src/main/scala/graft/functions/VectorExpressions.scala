@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Codegen'd dot product over two `array<double>` columns.
   *
@@ -75,9 +75,83 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot = copy(newLeft, newRight)
 }
 
+/** Codegen'd 16-bit SimHash over an `array<int>` of per-token hashes.
+  *
+  * Semantics (bit j set iff Σ over tokens of ±1 votes ≥ 0) are pure integer
+  * math — identical to the 16-pass higher-order-function formulation and to
+  * the DuckDB oracle, but computed in one tight loop instead of 16
+  * interpreted `transform`+`aggregate` passes per row.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 requires array<int>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val sums = new Array[Int](16)
+    var i = 0
+    val n = xs.numElements()
+    while (i < n) {
+      val v = xs.getInt(i)
+      var j = 0
+      while (j < 16) {
+        sums(j) += (if (((v >> j) & 1) == 1) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0
+    var j = 0
+    while (j < 16) {
+      if (sums(j) >= 0) out |= (1 << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val sums = ctx.freshName("sums")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $sums = new int[16];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $v = $a.getInt($i);
+         |  for (int $j = 0; $j < 16; $j++) {
+         |    $sums[$j] += ((($v >> $j) & 1) == 1) ? 1 : -1;
+         |  }
+         |}
+         |int $out = 0;
+         |for (int $j = 0; $j < 16; $j++) {
+         |  if ($sums[$j] >= 0) $out |= (1 << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two array<double> columns (codegen'd). */
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** 16-bit SimHash of an array<int> token-hash column (codegen'd). */
+  def simhash16(hashes: Column): Column =
+    GraftColumnBridge.column(SimHash16(GraftColumnBridge.expression(hashes)))
 }

@@ -153,19 +153,12 @@ object TextOps {
     transform(toks, t => conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int"))
 
   /** 16-bit SimHash from a materialized token-hash array. Each token votes
-    * ±1 on each bit position; positive sums set the bit. No explode → no
+    * ±1 on each bit position; positive sums set the bit. Codegen'd custom
+    * expression ([[graft.functions.SimHash16]]) — the equivalent 16-pass
+    * higher-order-function formulation runs interpreted. No explode → no
     * shuffle: the signature is produced in the scan stage. */
-  def simhashFromHashes(vals: Column): Column = {
-    val bitSums: Seq[Column] = (0 until 16).map { j =>
-      aggregate(
-        transform(vals, v => when(shiftright(v, j).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        lit(0),
-        (acc, x) => acc + x)
-    }
-    bitSums.zipWithIndex.map { case (s, j) =>
-      when(s >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-  }
+  def simhashFromHashes(vals: Column): Column =
+    graft.functions.VectorFunctions.simhash16(vals)
 
   // ------------------------------------------------------------- analysis
 
