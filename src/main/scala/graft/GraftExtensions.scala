@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VecDot
+import graft.functions.{SimHash16, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
@@ -17,6 +17,7 @@ import graft.functions.VecDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDot)
+    ext.injectFunction(GraftExtensions.simhash16)
   }
 }
 
@@ -29,5 +30,15 @@ object GraftExtensions {
         throw new IllegalArgumentException(
           s"vec_dot requires exactly 2 arguments, got ${children.length}")
       VecDot(children(0), children(1))
+    })
+
+  val simhash16: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash16"),
+    new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+    (children: Seq[Expression]) => {
+      if (children.length != 1)
+        throw new IllegalArgumentException(
+          s"simhash16 requires exactly 1 argument, got ${children.length}")
+      SimHash16(children.head)
     })
 }

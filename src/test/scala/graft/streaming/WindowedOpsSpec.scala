@@ -57,11 +57,17 @@ class WindowedOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("vec_dot registers as a SQL function (GraftExtensions builder)") {
-    val (ident, info, builder) = GraftExtensions.vecDot
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  test("vec_dot / simhash16 register as SQL functions (GraftExtensions builders)") {
+    Seq(GraftExtensions.vecDot, GraftExtensions.simhash16).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
     val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .as[Double].head()
     assert(r == 11.0)
+    // one token hash 0b0101: bits 0,2 vote +1 (set), others -1... all-zero
+    // sums stay >= 0 only for the set bits of the single vote
+    val sh = spark.sql("SELECT simhash16(array(5)) AS s").as[Int].head()
+    assert(sh == 5)
   }
 }
