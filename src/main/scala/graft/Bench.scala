@@ -61,15 +61,19 @@ object Bench {
     // (/proc/pressure/cpu avg10 up to 26% with idle guest CPU), which can
     // make any single sample read 30-60x slow; the minimum of two runs
     // measures the engine, not the noise
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val pass1 = names.map(n => n -> exec(n)).toMap
-    val pass2 = names.map(n => n -> exec(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+      .filter(n => only.forall(_.contains(n)))
+    // steal bursts last minutes — interleave full passes (not back-to-back
+    // reps of one query) so each query's samples are spread across the run
+    val passes = (1 to reps).map(_ => names.map(n => n -> exec(n)).toMap)
+    val results = names.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

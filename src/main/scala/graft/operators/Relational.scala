@@ -73,6 +73,21 @@ object Relational {
       when(cond, lit(name)).otherwise(acc)
     }
 
+  /** Scan fan-out: redistribute a skinny scan across the cluster before
+    * CPU-heavy per-row work (multi-join pipelines, wide partial aggregates).
+    *
+    * Parquet splits at row-group boundaries, so a file with few huge row
+    * groups (or a small file under `files.maxPartitionBytes`) scans as a
+    * handful of tasks no matter how many cores exist — and every downstream
+    * narrow stage (broadcast joins, partial aggregation) inherits that
+    * parallelism. One round-robin exchange right after the scan costs a
+    * single pass over the rows and unlocks full-width execution. Use on the
+    * fact side only when the downstream is compute-bound; well-laid-out
+    * sources at scale (many row groups) don't need it.
+    */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact money arithmetic for aggregation: cast a 2-dp double column to
     * decimal so sums are order-independent (a 100 TB shuffle sums partials in
     * nondeterministic order; double addition is not associative, decimal is).

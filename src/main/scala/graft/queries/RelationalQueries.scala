@@ -110,7 +110,7 @@ object RelationalQueries {
     * broadcast joins for all dimension sides; the only shuffle is the final
     * aggregate exchange — exactly the plan you'd want at 100 TB. */
   def jMultiwayRevenue(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val li = fanout(Tables.lineitem(s, d))
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
@@ -128,7 +128,7 @@ object RelationalQueries {
     * the inequality lives in a filter, not the join — customer nation ≠
     * supplier nation, counted per supplier. */
   def a4OutOfNation(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val li = fanout(Tables.lineitem(s, d))
     val sup = Tables.supplier(s, d)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
@@ -146,7 +146,7 @@ object RelationalQueries {
     * deterministic tie-break (count desc, member asc — the stable-sort
     * equivalent of the reference's insertion-ordered counter map). */
   def a1Top3PartsPerCustomer(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val li = fanout(Tables.lineitem(s, d))
     val o = Tables.orders(s, d)
     val counted = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_custkey"), col("l_partkey"))
@@ -159,7 +159,7 @@ object RelationalQueries {
   /** Top-3 part types per supplier nation (SURVEY §2.5 A5 + §2.4 J9/J10,
     * reference TopSellingGenreByVenue). */
   def a5Top3TypesPerNation(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val li = fanout(Tables.lineitem(s, d))
     val p = Tables.part(s, d)
     val sup = Tables.supplier(s, d)
     val counted = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))

@@ -32,7 +32,12 @@ object TextQueries {
     // ONE shingle pass feeds both the LSH banding and the exact-Jaccard
     // verification join (the tokenize→shingle pass dominates corpus CPU)
     val sh = shingleFrame(docs, "doc_id", "text").persist()
-    val cands = candidatesFromBands(bandsFromShingles(sh, 16, 4))
+    // LSH prefilter keeps the candidate set tiny relative to the corpus —
+    // broadcast it so both verification joins are map-side against the
+    // cached shingle frame (no shuffle/sort of the shingle arrays). If the
+    // candidate set ever outgrew broadcast range, AQE's runtime-size check
+    // would be the fallback; at a 0.5 LSH threshold it never should.
+    val cands = broadcast(candidatesFromBands(bandsFromShingles(sh, 16, 4)))
     cands
       .join(sh.as("sa"), col("id1") === col("sa.doc_id"))
       .join(sh.as("sb"), col("id2") === col("sb.doc_id"))
