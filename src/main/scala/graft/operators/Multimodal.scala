@@ -109,6 +109,23 @@ object Multimodal {
       .select(col("media_id"), col("frame_no"), col("col").cast("binary").as("frame_bytes"))
   }
 
+  /** Byte-level payload metadata: exact byte length, content digest, head
+    * bytes (hex), and fixed-size frame count — the manifest row a media
+    * ingest writes per asset before any decode happens. Pure column
+    * expressions over the binary payload (codegen'd; no decode, no UDF), so
+    * it runs at scan speed and is the one multimodal stage that needs no
+    * stub. `frameBytes` is the fixed frame size the count is quoted in.
+    */
+  def payloadMeta(media: Dataset[MediaRecord], frameBytes: Int = 256): DataFrame =
+    media.toDF()
+      .select(
+        col("media_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        hex(substring(col("payload"), 1, 8)).as("head8_hex"),
+        expr(s"(length(payload) + ${frameBytes - 1}) div $frameBytes")
+          .cast("long").as("n_frames"))
+
   /** Metadata-only profile — demonstrates payload pruning: this plan never
     * reads the binary column (check ReadSchema in explain). */
   def mediaProfile(media: Dataset[MediaRecord]): DataFrame =

@@ -73,6 +73,96 @@ object Relational {
       when(cond, lit(name)).otherwise(acc)
     }
 
+  /** As-of join (beyond the reference; the temporal-join generalization of
+    * its stream⋈table joins, SURVEY §2.4 note): attach to each left row the
+    * latest right row with `rightTime <= leftTime` for the same keys —
+    * left-outer, so left rows with no prior right row keep nulls.
+    *
+    * Implementation is the union-tag-window form: tag both inputs, sort each
+    * key group once by (time, tag) with right rows ordered before left rows
+    * at equal timestamps (inclusive as-of), and carry the right payload
+    * forward with `last(ignoreNulls)`. ONE shuffle + ONE sort, independent
+    * of how far back matches reach — the distributed as-of plan that range
+    * joins can't match (a banded range join explodes when the match can be
+    * arbitrarily old; a plain inequality join is quadratic per key).
+    *
+    * `right` must be unique per (keys, rightTime) — pre-aggregate ties away
+    * (the result would otherwise be nondeterministic in any engine).
+    *
+    * @param rightCols right-side payload columns to attach (must exist in
+    *        `right`; must not collide with left column names)
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightCols.map(col): _*).schema.fields)))
+    val r = right
+      .select(keys.map(col) :+ col(rightTime).as("__t") :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
+      .withColumn("__tag", lit(0))
+    val unioned = l.select((keys ++ Seq("__t", "__tag", "__r")).map(col) ++
+      leftCols.filterNot(keys.contains).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
+  /** Bounded-interval self-join (range join): all ordered pairs of rows
+    * sharing `keys` with `0 < t₂ − t₁ ≤ window`. Output: key columns plus
+    * the id/time of both endpoints (`id1,t1,id2,t2`).
+    *
+    * The banded-bucket plan: both sides bucket time by `window`; a later row
+    * can only live in the earlier row's bucket or the next one, so the left
+    * side explodes to those two probe buckets and the join key is
+    * (keys, bucket) — equi-join, shuffle-partitionable, AQE-skew-splittable.
+    * The exact range predicate then filters within buckets. Pair count (not
+    * scan size) bounds the output, the only honest cost of any range join.
+    */
+  def intervalSelfJoin(
+      df: DataFrame, keys: Seq[String], idCol: String, timeCol: String,
+      window: Long): DataFrame = {
+    val base = df.select(keys.map(col) :+ col(idCol) :+ col(timeCol): _*)
+    val a = base.select(keys.map(col) ++ Seq(
+      col(idCol).as("id1"), col(timeCol).as("t1"),
+      explode(array((col(timeCol) / window).cast("long"),
+        (col(timeCol) / window).cast("long") + 1)).as("__pb")): _*)
+    val b = base.select(keys.map(c => col(c).as(s"__k_$c")) ++ Seq(
+      col(idCol).as("id2"), col(timeCol).as("t2"),
+      (col(timeCol) / window).cast("long").as("__b")): _*)
+    val keyCond = keys.map(c => col(c) === col(s"__k_$c"))
+      .reduce(_ && _) && col("__pb") === col("__b")
+    a.join(b, keyCond && col("t2") > col("t1") && col("t2") <= col("t1") + window)
+      .select(keys.map(col) ++ Seq(col("id1"), col("t1"), col("id2"), col("t2")): _*)
+  }
+
+  /** Gap-based sessionization: assign a per-key `session_no` (1-based) that
+    * increments whenever the gap since the previous row exceeds `gap`.
+    * The batch twin of a streaming session window (cf.
+    * [[graft.streaming.WindowedOps]]): lag + running sum over one
+    * (keys)-partitioned sort — one shuffle, no state beyond the window.
+    * `order` must be a total order within each key group (include a
+    * tie-break column) or session numbering is nondeterministic.
+    */
+  def sessionize(
+      df: DataFrame, keys: Seq[String], timeCol: String, order: Seq[Column],
+      gap: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val prev = lag(col(timeCol), 1).over(w)
+    val newSession = when(prev.isNull || col(timeCol) - prev > gap, 1).otherwise(0)
+    df.withColumn("session_no",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"))
+  }
+
   /** Scan fan-out: redistribute a skinny scan across the cluster before
     * CPU-heavy per-row work (multi-join pipelines, wide partial aggregates).
     *

@@ -190,6 +190,75 @@ object Catalog {
         |FROM events GROUP BY hour_bucket, event_type
         |ORDER BY hour_bucket, event_type""".stripMargin)),
 
+    QuerySpec("s3_asof_enrich", RelationalQueries.s3AsofEnrich,
+      Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS t, max(event_id) AS view_event_id
+        |        FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)),
+        |c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id, c.ts_us,
+        |  v.view_event_id, v.t AS view_ts_us, c.ts_us - v.t AS lag_us
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_us >= v.t
+        |ORDER BY c.user_id, c.event_id""".stripMargin)),
+
+    QuerySpec("s4_range_pairs", RelationalQueries.s4RangePairs,
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.t > a.t AND b.t <= a.t + 3600000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)),
+
+    QuerySpec("w2_sessionize", RelationalQueries.w2Sessionize,
+      Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+        |f AS (SELECT user_id, event_id, t, value,
+        |  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 14400000000
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |g AS (SELECT user_id, t, value,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS INT) AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  min(t) AS start_us, max(t) AS end_us, ${sumDecSql("value")} AS sum_value
+        |FROM g GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin)),
+
+    QuerySpec("r1_rollup_revenue", RelationalQueries.r1RollupRevenue,
+      Some(s"""SELECT CAST(GROUPING(r_name, n_name) AS INT) AS gid,
+        |  coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  $revenueSql AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, region_name, nation_name""".stripMargin)),
+
+    QuerySpec("j2_anti_customers", RelationalQueries.j2AntiCustomers,
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QuerySpec("j3_semi_segment", RelationalQueries.j3SemiSegment,
+      Some("""SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QuerySpec("x1_json_extract", RelationalQueries.x1JsonExtract,
+      Some("""SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // HLL estimates are engine-specific — rows-only check by design (exact
+    // twin: a6_distinct_users)
+    QuerySpec("a8_approx_distinct", RelationalQueries.a8ApproxDistinct, None),
+
     // ------------------------------------------------- documents pipeline
 
     QuerySpec("d1_exact_dedup", TextQueries.d1ExactDedup,
@@ -291,6 +360,21 @@ object Catalog {
         |        floor(cos * 10000 + 0.5) / 10000 AS cos
         |      FROM s)
         |SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    QuerySpec("m1_payload_meta", MultimodalQueries.m1PayloadMeta,
+      Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  substr(hex(text::BLOB), 1, 16) AS head8_hex,
+        |  (octet_length(text::BLOB) + 255) // 256 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("e4_centroid", SimilarityQueries.e4Centroid,
+      Some("""WITH u AS (SELECT label, i, embedding[i]::DOUBLE AS x
+        |        FROM embeddings, generate_series(1, 64) AS t(i)),
+        |a AS (SELECT label, i, floor(avg(x) * 10000 + 0.5) / 10000 AS c
+        |      FROM u GROUP BY label, i)
+        |SELECT label, list(c ORDER BY i) AS centroid
+        |FROM a GROUP BY label ORDER BY label""".stripMargin)),
 
     QuerySpec("e3_cos_neardup", SimilarityQueries.e3CosNeardup,
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings)

@@ -202,6 +202,128 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** As-of enrichment (beyond the reference; the general form of its
+    * temporal stream⋈table joins): each click event picks up the latest
+    * at-or-before view event of the same user. One shuffle + one sort via
+    * [[Relational.asofJoin]]'s union-tag-window plan. Views are
+    * pre-deduped per (user, instant) — as-of ties are otherwise
+    * nondeterministic in any engine (DuckDB's native ASOF JOIN included). */
+  def s3AsofEnrich(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("view_event_id"))
+      .select(col("user_id"), col("ts_us"), col("view_event_id"),
+        col("ts_us").as("view_ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    asofJoin(clicks, views, Seq("user_id"), "ts_us", "ts_us",
+      Seq("view_event_id", "view_ts_us"))
+      .withColumn("lag_us", col("ts_us") - col("view_ts_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Bounded range join (beyond the reference): same-user event pairs within
+    * one hour, counted per user. The banded-bucket equi-join plan of
+    * [[Relational.intervalSelfJoin]] — never a per-key cross product. */
+  def s4RangePairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    intervalSelfJoin(e, Seq("user_id"), "event_id", "ts_us", 3600000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Gap sessionization (beyond the reference; batch twin of streaming
+    * session windows): 4-hour-gap sessions per user, one summary row per
+    * session. */
+  def w2Sessionize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("value"))
+    sessionize(e, Seq("user_id"), "ts_us",
+      Seq(col("ts_us").asc, col("event_id").asc), 14400000000L)
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  /** Hierarchical rollup (beyond the reference: grouping sets): revenue at
+    * (region, nation), (region) and grand-total levels in ONE pass —
+    * Spark expands the rollup inside the aggregate, so the fact table is
+    * still scanned and shuffled once. */
+  def r1RollupRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = fanout(Tables.lineitem(s, d))
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().cast("int").as("gid"),
+        revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .select(col("gid"),
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("revenue"), col("n_items"))
+      .orderBy(col("gid"), col("region_name"), col("nation_name"))
+  }
+
+  /** Anti join (beyond the reference's join surface): customers with no
+    * order since 1997-07-01. The filter on the right side is pushed to the
+    * orders scan; the anti join itself broadcasts the distinct keys when
+    * small, shuffles otherwise. */
+  def j2AntiCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Semi join: market-segment sizes counting only customers with ≥1 order
+    * since 1997-01-01 — existence check without join fan-out (a plain inner
+    * join would duplicate customers per matching order). */
+  def j3SemiSegment(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** JSON field extraction (SURVEY §2.8 serde surface on testdata: the
+    * reference's JsonSerde boundary as a column expression): pull a typed
+    * field out of the free-form `props` JSON and aggregate it. */
+  def x1JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Approximate distinct (the 100 TB path a6's scaladoc points at): HLL
+    * sketch per group — no oracle (sketch estimates are engine-specific);
+    * the driver records a rows-only check and [[a6DistinctUsers]] pins the
+    * exact semantics. */
+  def a8ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Hourly rollup (beyond the reference: event-time tumbling window, the
     * batch twin of the streaming windowed aggregate). Integer nano math on
     * both engines — no timestamp-precision hazard. */

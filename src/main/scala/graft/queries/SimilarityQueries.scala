@@ -27,4 +27,25 @@ object SimilarityQueries {
   def e3CosNeardup(s: SparkSession, d: String): DataFrame =
     cosineNearDupPairs(Tables.embeddings(s, d), 0.35)
       .orderBy(col("id1"), col("id2"))
+
+  /** Per-label centroid (the IVF training step made explicit): elementwise
+    * mean over each cell's vectors via posexplode → (label, dim) partial
+    * averages → re-assembled in dimension order. The explode shuffles
+    * (label, dim, x) triples — at 100 TB that's the standard map-reduce
+    * centroid plan (dim-partitioned partial sums), never a collect.
+    * Averages are display-rounded (round4) on both engines: float sums in
+    * shuffled order are not bit-reproducible, rounded means are. */
+  def e4Centroid(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        col("col").cast("double").as("x"))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .select(col("label"), col("dim"),
+        graft.operators.Relational.round4(col("c")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+      .orderBy(col("label"))
 }
