@@ -1,18 +1,25 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
-/** Plan inspection: `runMain graft.Explain <queryName> [sfDir] [mode]`
-  * prints the formatted physical plan (and with mode=extended the full
-  * logical→physical chain) for any catalog query. */
+/** Plan-audit main: print the formatted physical plan for the named catalog
+  * queries (all queries if no names given). Usage:
+  *   sbt "runMain graft.Explain <sfDir> [name ...]"
+  * What to look for (the checklist SURVEY §4 commits us to):
+  *   - PushedFilters / ReadSchema on every parquet scan (pushdown + pruning)
+  *   - BroadcastHashJoin on dimension sides; SortMergeJoin only fact-fact
+  *   - WholeStageCodegen spans covering the hot expressions
+  *   - no unexpected Exchange (shuffle) nodes
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val mode = if (args.length > 2) args(2) else "formatted"
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = Engine.session("graft-explain")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain(mode)
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
     spark.stop()
   }
 }

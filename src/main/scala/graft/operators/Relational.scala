@@ -131,13 +131,17 @@ object Relational {
       df: DataFrame, keys: Seq[String], idCol: String, timeCol: String,
       window: Long): DataFrame = {
     val base = df.select(keys.map(col) :+ col(idCol) :+ col(timeCol): _*)
+    // integer `div`, NOT `/`: Column./ plans a double division whose
+    // round-to-nearest can misplace a row at a bucket boundary once
+    // time/window exceeds ~2^52 ULP headroom (nanosecond timestamps) —
+    // a missed pair, silently. Integer division is exact at any magnitude.
+    def bucket = expr(s"`$timeCol` div $window")
     val a = base.select(keys.map(col) ++ Seq(
       col(idCol).as("id1"), col(timeCol).as("t1"),
-      explode(array((col(timeCol) / window).cast("long"),
-        (col(timeCol) / window).cast("long") + 1)).as("__pb")): _*)
+      explode(array(bucket, bucket + 1)).as("__pb")): _*)
     val b = base.select(keys.map(c => col(c).as(s"__k_$c")) ++ Seq(
       col(idCol).as("id2"), col(timeCol).as("t2"),
-      (col(timeCol) / window).cast("long").as("__b")): _*)
+      bucket.as("__b")): _*)
     val keyCond = keys.map(c => col(c) === col(s"__k_$c"))
       .reduce(_ && _) && col("__pb") === col("__b")
     a.join(b, keyCond && col("t2") > col("t1") && col("t2") <= col("t1") + window)
