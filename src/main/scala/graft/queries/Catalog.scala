@@ -259,6 +259,24 @@ object Catalog {
     // twin: a6_distinct_users)
     QuerySpec("a8_approx_distinct", RelationalQueries.a8ApproxDistinct, None),
 
+    QuerySpec("x2_pivot_counts", RelationalQueries.x2PivotCounts,
+      Some("""SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QuerySpec("x3_moving_avg", RelationalQueries.x3MovingAvg,
+      Some(s"""WITH daily AS (
+        |  SELECT o_orderdate, ${sumDecSql("o_totalprice")} AS day_rev
+        |  FROM orders GROUP BY o_orderdate)
+        |SELECT o_orderdate, day_rev,
+        |  floor(avg(day_rev) OVER (ORDER BY o_orderdate
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000 AS mov7
+        |FROM daily ORDER BY o_orderdate""".stripMargin)),
+
     // ------------------------------------------------- documents pipeline
 
     QuerySpec("d1_exact_dedup", TextQueries.d1ExactDedup,
@@ -334,6 +352,18 @@ object Catalog {
         |    || substr(text, greatest(length(text) - 63, 1), 64)
         |    || CAST(length(text) AS VARCHAR)) AS sfp
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("t6_hash_sample", TextQueries.t6HashSample,
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+        |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("t7_length_quantiles", TextQueries.t7LengthQuantiles,
+      Some("""SELECT lang,
+        |  floor(quantile_cont(n_chars, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        |  floor(quantile_cont(n_chars, 0.9) * 10000 + 0.5) / 10000 AS p90,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ------------------------------------------------ embeddings pipeline
 

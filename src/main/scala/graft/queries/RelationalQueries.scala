@@ -324,6 +324,37 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Pivot (beyond the reference): per-user event-type counts as columns.
+    * Explicit pivot values keep the plan single-pass (no distinct-values
+    * pre-query) — the right call at scale where the domain is known. */
+  def x2PivotCounts(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Moving-average window frame (beyond the reference): 7-row trailing
+    * mean over the daily revenue series. The daily pre-aggregate shrinks
+    * the window input to one row per day — the window itself is a single
+    * narrow pass; display-rounded because windowed float aggregation
+    * (segment trees vs running sums) differs across engines in the last
+    * ULPs. */
+  def x3MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("day_rev"))
+    val w = Window.orderBy(col("o_orderdate")).rowsBetween(-6, 0)
+    daily
+      .select(col("o_orderdate"), col("day_rev"),
+        round4(avg(col("day_rev")).over(w)).as("mov7"))
+      .orderBy(col("o_orderdate"))
+  }
+
   /** Hourly rollup (beyond the reference: event-time tumbling window, the
     * batch twin of the streaming windowed aggregate). Integer nano math on
     * both engines — no timestamp-precision hazard. */

@@ -96,4 +96,36 @@ object TextQueries {
         fingerprint(col("text")).as("fp"),
         structuralFingerprint(col("text")).as("sfp"))
       .orderBy(col("doc_id"))
+
+  /** Deterministic hash sampling: keep a row iff a stable content-derived
+    * hash lands under the rate. THE training-data sampling idiom at scale —
+    * unlike `df.sample` (partition-order RNG), membership is a pure function
+    * of the key: reproducible across reruns/engines, stable under
+    * repartitioning, and subsettable (a 1% sample is a subset of the 10%).
+    * Stratification = a different modulus per stratum. */
+  def t6HashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("__h",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long"))
+      .filter(col("__h") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Exact length quantiles per language (linear interpolation); the
+    * distribution-profiling step of corpus QA. Exact `percentile` needs the
+    * group's values collected per group — fine for bounded group counts; at
+    * unbounded cardinality switch to approx_percentile (t-digest), same
+    * plan shape. Interpolated values are display-rounded: the two engines
+    * associate the lerp differently in IEEE arithmetic. */
+  def t7LengthQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, array(0.5D, 0.9D))").as("__q"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"),
+        graft.operators.Relational.round4(element_at(col("__q"), 1)).as("p50"),
+        graft.operators.Relational.round4(element_at(col("__q"), 2)).as("p90"),
+        col("n_docs"))
+      .orderBy(col("lang"))
 }
