@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{SimHash16, VecDot}
+import graft.functions.{MinHashSig, SimHash16, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.simhash16)
+    ext.injectFunction(GraftExtensions.minhashSig)
   }
 }
 
@@ -40,5 +41,20 @@ object GraftExtensions {
         throw new IllegalArgumentException(
           s"simhash16 requires exactly 1 argument, got ${children.length}")
       SimHash16(children.head)
+    })
+
+  val minhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new IllegalArgumentException(
+          s"minhash_sig requires (array<string>, numHashes), got ${children.length} args")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig numHashes must be an integer literal, got $other")
+      }
+      MinHashSig(children.head, k)
     })
 }

@@ -145,6 +145,103 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
+/** Codegen'd MinHash signature over an `array<string>` of shingles: one
+  * md5 per element, then `numHashes` universal-hash derivations
+  * `(a_i·h + b_i) mod P` folded into running minimums — all in ONE pass.
+  *
+  * Replaces a 17-pass higher-order-function pipeline (one `transform` for
+  * the base hashes + numHashes × `array_min(transform(...))`), every pass
+  * interpreted (HOFs are CodegenFallback) with the md5 cost paid through
+  * the interpreted expression path. Semantics are bit-identical: the base
+  * hash is the first 4 digest bytes read big-endian-unsigned, exactly
+  * `conv(substring(md5(s), 1, 8), 16, 10)`, and (a_i, b_i, P) come from
+  * [[graft.operators.TextOps]] so Scala, SQL and the DuckDB oracle stay in
+  * lockstep.
+  *
+  * Returns null for an empty array (no shingles → no signature), matching
+  * `array_min(transform(empty))` = null: downstream band keys
+  * null-propagate and never join. Array elements must be non-null
+  * (shingles are built from concat over non-null tokens).
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "minhash_sig"
+  override def nullable: Boolean = true
+
+  private lazy val aCoef: Array[Long] =
+    Array.tabulate(numHashes)(graft.operators.TextOps.minhashA)
+  private lazy val bCoef: Array[Long] =
+    Array.tabulate(numHashes)(graft.operators.TextOps.minhashB)
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    val p = graft.operators.TextOps.MinhashP
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val d = org.apache.commons.codec.digest.DigestUtils.md5(
+        xs.getUTF8String(i).getBytes)
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var j = 0
+      while (j < numHashes) {
+        val v = (h * aCoef(j) + bCoef(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", aCoef, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bCoef, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5(
+         |      $a.getUTF8String($i).getBytes());
+         |    long $h = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
+         |      (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${graft.operators.TextOps.MinhashP}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two array<double> columns (codegen'd). */
   def vec_dot(a: Column, b: Column): Column =
@@ -154,4 +251,10 @@ object VectorFunctions {
   /** 16-bit SimHash of an array<int> token-hash column (codegen'd). */
   def simhash16(hashes: Column): Column =
     GraftColumnBridge.column(SimHash16(GraftColumnBridge.expression(hashes)))
+
+  /** MinHash signature (array<long> of k mins) of an array<string> shingle
+    * column (codegen'd, one pass). */
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSig(GraftColumnBridge.expression(shingles), numHashes))
 }

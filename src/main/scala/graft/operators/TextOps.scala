@@ -118,17 +118,21 @@ object TextOps {
       numHashes: Int, rowsPerBand: Int): DataFrame =
     bandsFromShingles(shingleFrame(docs, idCol, textCol), numHashes, rowsPerBand)
 
-  /** Band keys from a (possibly persisted) shingle frame. */
+  /** Band keys from a (possibly persisted) shingle frame. The signature
+    * comes from the one-pass codegen'd [[graft.functions.MinHashSig]]
+    * (see its scaladoc for why not 17 interpreted HOF passes); the
+    * element-wise builders below ([[elementHashes]]/[[minhashFromHashes]])
+    * define the reference semantics it must match, and the spec pins the
+    * two paths equal. */
   def bandsFromShingles(shDf: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val hashDf = shDf.select(col("doc_id"), elementHashes(col("sh")).as("__hs"))
-    val sigDf = hashDf.select(col("doc_id") +:
-      (0 until numHashes).map(i => minhashFromHashes(col("__hs"), i).as(s"mh$i")): _*)
+    val sigDf = shDf.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhash_sig(col("sh"), numHashes).as("__sig"))
     val bands = (0 until numHashes / rowsPerBand).map { j =>
       // concat (null-propagating, ':'-separated) — an empty shingle set gives
       // null band keys that can never join, on both engines; concat_ws would
       // silently skip the nulls on the Spark side only
       val concatCols = (0 until rowsPerBand).flatMap { r =>
-        val c = col(s"mh${j * rowsPerBand + r}").cast("string")
+        val c = element_at(col("__sig"), j * rowsPerBand + r + 1).cast("string")
         if (r == 0) Seq(c) else Seq(lit(":"), c)
       }
       struct(lit(j).as("band"), md5(concat(concatCols: _*).cast("binary")).as("bk"))

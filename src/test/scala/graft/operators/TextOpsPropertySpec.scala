@@ -48,6 +48,41 @@ class TextOpsPropertySpec extends SparkSpec {
       "0.9-jaccard near-dup pair missed by LSH (16 hashes / 4 bands)")
   }
 
+  test("MinHashSig (codegen, one pass) equals the element-wise HOF formulation") {
+    val k = 16
+    val docs = ((0 until 60).map(i => (i.toLong, randText(5 + rnd.nextInt(80)))) :+
+      (999L, "a b")) // < 3 tokens -> empty shingles -> null signature
+      .toDF("doc_id", "text")
+    val sh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), TextOps.shinglesOf(col("t")).as("sh"))
+    val viaHof = sh
+      .select(col("doc_id"), TextOps.elementHashes(col("sh")).as("hs"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => TextOps.minhashFromHashes(col("hs"), i).as(s"m$i")): _*)
+    val viaExpr = sh.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhash_sig(col("sh"), k).as("sig"))
+    val hof = viaHof.collect().map(r => r.getLong(0) ->
+      (1 to k).map(i => if (r.isNullAt(i)) null else r.getLong(i))).toMap
+    val expr = viaExpr.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(hof.keySet == expr.keySet)
+    hof.foreach { case (id, sig) =>
+      if (sig.forall(_ == null)) assert(expr(id) == null, s"doc $id: expected null sig")
+      else assert(expr(id) == sig, s"doc $id signatures differ")
+    }
+    // SQL registration path (covers the parser->expression wiring)
+    viaExpr.sparkSession.sessionState.functionRegistry
+      .registerFunction(graft.GraftExtensions.minhashSig._1,
+        graft.GraftExtensions.minhashSig._2, graft.GraftExtensions.minhashSig._3)
+    sh.createOrReplaceTempView("sh_view")
+    val viaSql = sh.sparkSession
+      .sql(s"SELECT doc_id, minhash_sig(sh, $k) AS sig FROM sh_view")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(viaSql == expr)
+  }
+
   test("exactDedup: dup_count sums to corpus size, canonical is min id per group") {
     val docs = (0 until 50).map(i => (i.toLong, s"text-${i % 17}")).toDF("doc_id", "text")
     val out = TextOps.exactDedup(docs, "doc_id", "text")
