@@ -148,7 +148,15 @@ object RelationalQueries {
   def a1Top3PartsPerCustomer(s: SparkSession, d: String): DataFrame = {
     val li = fanout(Tables.lineitem(s, d))
     val o = Tables.orders(s, d)
+    // One explicit hash partitioning on o_custkey serves BOTH downstream
+    // stages: HashPartitioning(custkey) satisfies the aggregate's
+    // ClusteredDistribution(custkey, partkey) (subset rule) AND the top-K
+    // window's partitionBy(custkey) — so neither plans its own Exchange.
+    // (custkey, partkey) groups are near-distinct in this data, so the
+    // partial-agg phase this skips was building a ~full-size hash map per
+    // task for no reduction anyway.
     val counted = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .repartition(col("o_custkey"))
       .groupBy(col("o_custkey"), col("l_partkey"))
       .agg(count(lit(1)).as("cnt"))
     topKPerGroup(counted, Seq("o_custkey"), Seq(col("cnt").desc, col("l_partkey").asc), 3)
