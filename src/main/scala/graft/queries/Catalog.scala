@@ -353,6 +353,18 @@ object Catalog {
         |    || CAST(length(text) AS VARCHAR)) AS sfp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("p8_except_sources", TextQueries.p8ExceptSources,
+      Some("""SELECT source FROM documents WHERE lang = 'en'
+        |EXCEPT
+        |SELECT source FROM documents WHERE lang = 'de'
+        |ORDER BY source""".stripMargin)),
+
+    QuerySpec("t8_top_tokens", TextQueries.t8TopTokens,
+      Some("""SELECT token, count(*) AS doc_freq FROM (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 20""".stripMargin)),
+
     QuerySpec("t6_hash_sample", TextQueries.t6HashSample,
       Some("""SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0

@@ -112,6 +112,29 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Set difference (SURVEY §2.7 breadth beyond the reference's union-only
+    * surface): sources that ship English docs but no German ones. EXCEPT
+    * plans as a distinct-aggregate anti pattern — one shuffle each side. */
+  def p8ExceptSources(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.filter(col("lang") === "en").select(col("source"))
+      .except(docs.filter(col("lang") === "de").select(col("source")))
+      .orderBy(col("source"))
+  }
+
+  /** Vocabulary head: global top-20 tokens by document frequency — the
+    * explode → aggregate → bounded top-K shape of vocab building and
+    * inverted-index construction. The explode shuffles (token, 1) pairs;
+    * partial aggregation collapses them map-side (token cardinality ≪ token
+    * instances), and the global top-K is TakeOrdered — no full sort. */
+  def t8TopTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+      .limit(20)
+
   /** Exact length quantiles per language (linear interpolation); the
     * distribution-profiling step of corpus QA. Exact `percentile` needs the
     * group's values collected per group — fine for bounded group counts; at
