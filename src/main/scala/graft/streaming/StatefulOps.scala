@@ -57,6 +57,40 @@ object StatefulOps {
           latest
       }
 
+  /** [[latestByKey]] with TTL state eviction — the 100 TB knob SURVEY
+    * §7.4.6 promises: a key idle longer than `ttlMs` of processing time has
+    * its state dropped (and re-learns from its next record as if new).
+    * Default parity semantics (never evict) remain [[latestByKey]]; this
+    * variant is for unbounded key spaces where idle state would otherwise
+    * grow forever. Timeout fires on a later micro-batch after the horizon
+    * passes; eviction emits nothing (a changelog tombstone would go here if
+    * the sink needs retractions).
+    *
+    * Operational constraints (how ProcessingTimeTimeout actually runs):
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is unconditionally
+    * true under this timeout mode, so the engine keeps scheduling no-data
+    * batches to check the clock. Run such queries with a real trigger
+    * interval (`Trigger.ProcessingTime(...)`) — the default ASAP trigger
+    * busy-loops — and don't wait on `processAllAvailable` in tests: it
+    * blocks forever because `noNewData` is never set while another batch is
+    * always due (the spec polls the sink with a deadline instead). */
+  def latestByKeyTtl[V](ds: Dataset[Keyed[V]], ttlMs: Long)(
+      implicit enc: Encoder[Keyed[V]]): Dataset[Keyed[V]] =
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[Keyed[V], Keyed[V]](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: String, rows: Iterator[Keyed[V]], state: GroupState[Keyed[V]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val latest = (state.getOption.iterator ++ rows).maxBy(_.seq)
+            state.update(latest)
+            state.setTimeoutDuration(ttlMs)
+            Iterator.single(latest)
+          }
+      }
+
   /** Running count per key with per-batch update emission (SURVEY §2.5 A6;
     * the reference emits per record because its cache is disabled — a
     * micro-batch engine coarsens that to per-batch, SURVEY §7.4.1). */

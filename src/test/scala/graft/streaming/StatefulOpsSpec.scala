@@ -74,6 +74,42 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestByKeyTtl evicts idle state; the key re-learns from scratch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Keyed[String]]
+    // ProcessingTimeTimeout keeps scheduling clock-check batches, so (a) a
+    // real trigger interval, not the ASAP default, and (b) NO
+    // processAllAvailable — it never returns under this timeout mode (see
+    // latestByKeyTtl scaladoc). Poll the sink with a deadline instead.
+    val q = StatefulOps.latestByKeyTtl(in.toDS(), ttlMs = 500L)
+      .writeStream.format("memory").queryName("latest_ttl_out")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitSink(deadlineMs: Long)(cond: Set[String] => Boolean): Set[String] = {
+      val deadline = System.currentTimeMillis() + deadlineMs
+      var seen = Set.empty[String]
+      while (System.currentTimeMillis() < deadline && !cond(seen)) {
+        Thread.sleep(100)
+        seen = spark.table("latest_ttl_out").as[Keyed[String]].collect()
+          .filter(_.key == "k1").map(_.value).toSet
+      }
+      seen
+    }
+    try {
+      in.addData(Keyed("k1", 10L, "old-high-seq"))
+      assert(awaitSink(30000)(_.contains("old-high-seq")).contains("old-high-seq"))
+      Thread.sleep(2000) // let the 500 ms TTL horizon pass; trigger cadence
+                         // runs the timeout batch that evicts k1
+      // k1's state is gone: a LOWER seq now wins and gets emitted (with
+      // live state, maxBy would re-emit old-high-seq/seq=10 instead)
+      in.addData(Keyed("k1", 2L, "fresh-low-seq"))
+      val seen = awaitSink(30000)(_.contains("fresh-low-seq"))
+      assert(seen.contains("fresh-low-seq"),
+        s"expected evicted state to let seq=2 win, got emissions $seen")
+    } finally q.stop()
+  }
+
   test("runningCount (streaming): counts accumulate per batch (update emission)") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Keyed[String]]
