@@ -235,6 +235,15 @@ object Catalog {
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY gid, region_name, nation_name""".stripMargin)),
 
+    QuerySpec("r2_cube_orders", RelationalQueries.r2CubeOrders,
+      Some(s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, ${sumDecSql("o_totalprice")} AS rev
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin)),
+
     QuerySpec("j2_anti_customers", RelationalQueries.j2AntiCustomers,
       Some("""SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -417,6 +426,13 @@ object Catalog {
         |      FROM u GROUP BY label, i)
         |SELECT label, list(c ORDER BY i) AS centroid
         |FROM a GROUP BY label ORDER BY label""".stripMargin)),
+
+    QuerySpec("e5_normalize", SimilarityQueries.e5Normalize,
+      Some("""SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[],
+        |    v -> floor(v / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |         * 10000 + 0.5) / 10000) AS unit
+        |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     QuerySpec("e3_cos_neardup", SimilarityQueries.e3CosNeardup,
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings)

@@ -284,6 +284,21 @@ object RelationalQueries {
       .orderBy(col("gid"), col("region_name"), col("nation_name"))
   }
 
+  /** Cube (the rollup's sibling: ALL grouping-set combinations — here
+    * (type,status), (type), (status), ()). Same single-pass expansion
+    * inside one aggregate. */
+  def r2CubeOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+      .select(col("gid"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("rev"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
   /** Anti join (beyond the reference's join surface): customers with no
     * order since 1997-07-01. The filter on the right side is pushed to the
     * orders scan; the anti join itself broadcasts the distinct keys when

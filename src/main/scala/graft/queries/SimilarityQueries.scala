@@ -28,6 +28,20 @@ object SimilarityQueries {
     cosineNearDupPairs(Tables.embeddings(s, d), 0.35)
       .orderBy(col("id1"), col("id2"))
 
+  /** Unit-normalization (the embedding-prep step before any cosine
+    * pipeline: normalized vectors turn cosine into plain dot product).
+    * Norm via the codegen'd VecDot; the per-element divide is a transform
+    * over an already-materialized array — display-rounded for the oracle. */
+  def e5Normalize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), col("e"),
+        sqrt(graft.functions.VectorFunctions.vec_dot(col("e"), col("e"))).as("norm"))
+      .select(col("vec_id"),
+        transform(col("e"),
+          v => graft.operators.Relational.round4(v / col("norm"))).as("unit"))
+      .orderBy(col("vec_id"))
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages → re-assembled in dimension order. The explode shuffles
