@@ -368,6 +368,12 @@ object Catalog {
         |SELECT source FROM documents WHERE lang = 'de'
         |ORDER BY source""".stripMargin)),
 
+    QuerySpec("p9_intersect_sources", TextQueries.p9IntersectSources,
+      Some("""SELECT source FROM documents WHERE lang = 'en'
+        |INTERSECT
+        |SELECT source FROM documents WHERE lang = 'de'
+        |ORDER BY source""".stripMargin)),
+
     QuerySpec("t8_top_tokens", TextQueries.t8TopTokens,
       Some("""SELECT token, count(*) AS doc_freq FROM (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token

@@ -122,6 +122,16 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Set intersection (completing §2.7: union/except/intersect): sources
+    * shipping BOTH English and German docs. Same distinct-aggregate shape
+    * as except. */
+  def p9IntersectSources(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.filter(col("lang") === "en").select(col("source"))
+      .intersect(docs.filter(col("lang") === "de").select(col("source")))
+      .orderBy(col("source"))
+  }
+
   /** Vocabulary head: global top-20 tokens by document frequency — the
     * explode → aggregate → bounded top-K shape of vocab building and
     * inverted-index construction. The explode shuffles (token, 1) pairs;
