@@ -425,6 +425,16 @@ object Catalog {
         |  (octet_length(text::BLOB) + 255) // 256 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // kind = ["image","audio","video"][doc_id % 3] (mediaFromDocuments);
+    // frames are 64-CHAR windows, so the count is over chars while byte
+    // totals are octet-based — the oracle mirrors both exactly
+    QuerySpec("m2_frame_explode", MultimodalQueries.m2FrameExplode,
+      Some("""SELECT doc_id AS media_id,
+        |  (length(text) + 63) // 64 AS n_frames,
+        |  octet_length(text::BLOB) AS frame_bytes_total
+        |FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
+        |ORDER BY media_id""".stripMargin)),
+
     QuerySpec("e4_centroid", SimilarityQueries.e4Centroid,
       Some("""WITH u AS (SELECT label, i, embedding[i]::DOUBLE AS x
         |        FROM embeddings, generate_series(1, 64) AS t(i)),
