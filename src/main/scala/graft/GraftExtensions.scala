@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, SimHash16, VecDot}
+import graft.functions.{MinHashSig, Shingles, SimHash16, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.simhash16)
     ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectFunction(GraftExtensions.shingles)
   }
 }
 
@@ -56,5 +57,20 @@ object GraftExtensions {
           s"minhash_sig numHashes must be an integer literal, got $other")
       }
       MinHashSig(children.head, k)
+    })
+
+  val shingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingles"),
+    new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new IllegalArgumentException(
+          s"shingles requires (array<string>, n), got ${children.length} args")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"shingles n must be an integer literal, got $other")
+      }
+      Shingles(children.head, n)
     })
 }

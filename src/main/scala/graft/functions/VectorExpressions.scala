@@ -242,6 +242,83 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Codegen'd distinct n-token shingles over an `array<string>` token
+  * column: one pass building each window with `UTF8String.concatWs` and
+  * deduplicating through an insertion-ordered set.
+  *
+  * Replaces `array_distinct(transform(sequence(1, size-n+1), i ->
+  * concat_ws(" ", element_at(toks, i), ...)))` — interpreted (HOF), with a
+  * sequence-array allocation plus n boxed element_at calls per window, and
+  * a second full dedup pass. Semantics: identical string multiset →
+  * first-occurrence-distinct; empty array (not null) when the text is
+  * shorter than n tokens, matching the `when(size >= n, ...)` guard and
+  * DuckDB's CASE guard. Downstream (MinHash minimums, intersection
+  * cardinalities) is order-insensitive, but insertion order is preserved
+  * anyway to mirror array_distinct exactly. Token elements must be
+  * non-null (they come from `split`).
+  */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, false)
+  override def prettyName: String = "shingles"
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val total = xs.numElements()
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i <= total - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = xs.getUTF8String(i + j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("shingleSep",
+      org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val total = ctx.freshName("total")
+      val parts = ctx.freshName("parts")
+      val seen = ctx.freshName("seen")
+      s"""
+         |int $total = $a.numElements();
+         |java.util.LinkedHashSet $seen = new java.util.LinkedHashSet();
+         |for (int $i = 0; $i <= $total - $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String[] $parts =
+         |    new org.apache.spark.unsafe.types.UTF8String[$n];
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $parts[$j] = $a.getUTF8String($i + $j);
+         |  }
+         |  $seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs($sepRef, $parts));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $seen.toArray());
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two array<double> columns (codegen'd). */
   def vec_dot(a: Column, b: Column): Column =
@@ -257,4 +334,9 @@ object VectorFunctions {
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     GraftColumnBridge.column(
       MinHashSig(GraftColumnBridge.expression(shingles), numHashes))
+
+  /** Distinct n-token shingles of an array<string> token column
+    * (codegen'd, one pass, insertion-ordered dedup). */
+  def shingles(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(Shingles(GraftColumnBridge.expression(tokens), n))
 }

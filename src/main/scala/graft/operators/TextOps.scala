@@ -107,7 +107,10 @@ object TextOps {
     docs
       .repartition(par) // CPU-bound; don't inherit file-layout parallelism
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), shinglesOf(col("__toks")).as("sh"))
+      // one-pass codegen'd shingling; [[shinglesOf]] is the reference
+      // formulation it must match (pinned equal in TextOpsPropertySpec)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.shingles(col("__toks"), 3).as("sh"))
   }
 
   /** (doc_id, band, bk) rows: one per LSH band per doc. Each intermediate

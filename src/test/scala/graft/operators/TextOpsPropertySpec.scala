@@ -48,6 +48,22 @@ class TextOpsPropertySpec extends SparkSpec {
       "0.9-jaccard near-dup pair missed by LSH (16 hashes / 4 bands)")
   }
 
+  test("Shingles (codegen) equals the HOF formulation incl. order and short docs") {
+    val docs = ((0 until 80).map(i => (i.toLong, randText(rnd.nextInt(90)))) ++
+      Seq((900L, ""), (901L, "one"), (902L, "one two"), (903L, "a b c"),
+        (904L, "dup dup dup dup"))) // forces duplicate shingles
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val hof = docs.select(col("doc_id"), TextOps.shinglesOf(col("t")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val gen = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.shingles(col("t"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(hof == gen)
+    assert(gen(901L).isEmpty && gen(902L).isEmpty) // short docs: empty, not null
+    assert(gen(903L) == Seq("a b c") && gen(904L) == Seq("dup dup dup"))
+  }
+
   test("MinHashSig (codegen, one pass) equals the element-wise HOF formulation") {
     val k = 16
     val docs = ((0 until 60).map(i => (i.toLong, randText(5 + rnd.nextInt(80)))) :+
