@@ -160,8 +160,11 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   *
   * Returns null for an empty array (no shingles → no signature), matching
   * `array_min(transform(empty))` = null: downstream band keys
-  * null-propagate and never join. Array elements must be non-null
-  * (shingles are built from concat over non-null tokens).
+  * null-propagate and never join. Null ELEMENTS are skipped — the exact
+  * semantics of the reference HOF path, where `conv(md5(null))` is null
+  * and `array_min` ignores nulls — so an all-null array is also null.
+  * (Internal callers feed non-null shingle arrays; the skip matters for
+  * the registered SQL surface, where containsNull inputs are legal.)
   */
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
 
@@ -184,24 +187,28 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    if (n == 0) return null
     val p = graft.operators.TextOps.MinhashP
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var contributed = false
     var i = 0
     while (i < n) {
-      val d = org.apache.commons.codec.digest.DigestUtils.md5(
-        xs.getUTF8String(i).getBytes)
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      var j = 0
-      while (j < numHashes) {
-        val v = (h * aCoef(j) + bCoef(j)) % p
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!xs.isNullAt(i)) {
+        contributed = true
+        val d = org.apache.commons.codec.digest.DigestUtils.md5(
+          xs.getUTF8String(i).getBytes)
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var j = 0
+        while (j < numHashes) {
+          val v = (h * aCoef(j) + bCoef(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    if (!contributed) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -215,23 +222,27 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
       val mins = ctx.freshName("mins")
+      val any = ctx.freshName("any")
       s"""
          |int $n = $a.numElements();
-         |if ($n == 0) {
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $any = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  $any = true;
+         |  byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5(
+         |    $a.getUTF8String($i).getBytes());
+         |  long $h = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
+         |    (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${graft.operators.TextOps.MinhashP}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |if (!$any) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long[] $mins = new long[$numHashes];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5(
-         |      $a.getUTF8String($i).getBytes());
-         |    long $h = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
-         |      (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
-         |    for (int $j = 0; $j < $numHashes; $j++) {
-         |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${graft.operators.TextOps.MinhashP}L;
-         |      if ($v < $mins[$j]) $mins[$j] = $v;
-         |    }
-         |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |}
        """.stripMargin

@@ -68,20 +68,42 @@ object TextOps {
   def minhashFromHashes(hs: Column, i: Int): Column =
     array_min(transform(hs, h => (h * minhashA(i) + minhashB(i)) % MinhashP))
 
+  /** One canonical representative per exact-duplicate group: the min-id doc
+    * per content fingerprint. MANDATORY upstream of LSH banding: a cluster
+    * of N byte-identical docs shares every band key, so banding them all
+    * puts N²/2 pairs in one bucket — and real corpora are dup-heavy (that's
+    * why you dedup). Collapsing the cluster to one representative first
+    * makes per-bucket skew depend only on band collision probability among
+    * NON-identical docs. The shuffle here carries (fp, id) pairs — 40 B/doc,
+    * same as [[exactDedup]]; exact-dup membership itself is d1's output. */
+  def canonicalDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = docs
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("__fp"))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keep"))
+    docs.join(keep, docs(idCol) === keep("__keep"), "left_semi")
+  }
+
   /** Candidate near-duplicate pairs (id1 < id2) via banded MinHash-LSH over
-    * 3-token shingles. Defaults (16 hashes, bands of 4) put the LSH s-curve
+    * 3-token shingles, among exact-dedup representatives ([[canonicalDocs]]
+    * runs first — see its scaladoc for why that is a skew requirement, not
+    * an optimization). Defaults (16 hashes, bands of 4) put the LSH s-curve
     * threshold near Jaccard 0.5: catch probability ≈ 1.0 at s=0.9, ≈ 0.03
     * at s=0.3.
     *
     * Scale: shingle/signature computation is embarrassingly parallel in the
     * scan stage (each doc → 16×32B signature). The only shuffle is on band
-    * keys; bucket sizes are bounded by band collision probability, so the
-    * within-bucket self-join is skew-bounded by construction.
+    * keys; with identical docs pre-collapsed, bucket sizes are bounded by
+    * band collision probability, so the within-bucket self-join is
+    * skew-bounded. Pairs WITHIN an exact-dup cluster are deliberately not
+    * re-expanded (they are d1's output, and materializing them is inherently
+    * quadratic in cluster size).
     */
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    candidatesFromBands(minhashBands(docs, idCol, textCol, numHashes, rowsPerBand))
+    candidatesFromBands(minhashBands(
+      canonicalDocs(docs, idCol, textCol), idCol, textCol, numHashes, rowsPerBand))
 
   /** Self-join of a band frame into candidate pairs (id1 < id2). */
   def candidatesFromBands(bandFrame: DataFrame): DataFrame = {

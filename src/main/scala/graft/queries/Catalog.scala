@@ -31,9 +31,13 @@ object Catalog {
 
   private def sumDecSql(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
-  /** Distinct 3-token shingles, mirroring TextOps.shingles. */
+  /** Distinct 3-token shingles over exact-dedup representatives (mirrors
+    * TextOps.canonicalDocs → shingleFrame: identical docs collapse to the
+    * min-id doc per content fingerprint before any LSH work). */
   private val shingleCte =
-    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    """canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |tk AS (SELECT d.doc_id, string_split(d.text, ' ') AS t
+      |       FROM documents d JOIN canon ON d.doc_id = canon.doc_id),
       |shx AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
       |  THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |  ELSE []::VARCHAR[] END) AS sh FROM tk)""".stripMargin
@@ -264,9 +268,16 @@ object Catalog {
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // HLL estimates are engine-specific — rows-only check by design (exact
-    // twin: a6_distinct_users)
-    QuerySpec("a8_approx_distinct", RelationalQueries.a8ApproxDistinct, None),
+    // The HLL estimate itself is engine-specific, so the gated columns are
+    // the exact count plus a 5%-relative-error assertion on the sketch
+    // (approx_ok), pinned to TRUE — estimate drift flips the boolean and
+    // fails the hash
+    QuerySpec("a8_approx_distinct", RelationalQueries.a8ApproxDistinct,
+      Some("""SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n_events,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QuerySpec("x2_pivot_counts", RelationalQueries.x2PivotCounts,
       Some("""SELECT user_id,
@@ -436,19 +447,19 @@ object Catalog {
         |ORDER BY media_id""".stripMargin)),
 
     QuerySpec("e4_centroid", SimilarityQueries.e4Centroid,
-      Some("""WITH u AS (SELECT label, i, embedding[i]::DOUBLE AS x
-        |        FROM embeddings, generate_series(1, 64) AS t(i)),
-        |a AS (SELECT label, i, floor(avg(x) * 10000 + 0.5) / 10000 AS c
-        |      FROM u GROUP BY label, i)
-        |SELECT label, list(c ORDER BY i) AS centroid
-        |FROM a GROUP BY label ORDER BY label""".stripMargin)),
+      Some("""WITH u AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS x
+        |        FROM embeddings, generate_series(1, 64) AS t(i))
+        |SELECT label, dim, floor(avg(x) * 10000 + 0.5) / 10000 AS c
+        |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
     QuerySpec("e5_normalize", SimilarityQueries.e5Normalize,
-      Some("""SELECT vec_id,
-        |  list_transform(embedding::DOUBLE[],
-        |    v -> floor(v / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |         * 10000 + 0.5) / 10000) AS unit
-        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+      Some("""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |FROM embeddings)
+        |SELECT vec_id, i AS dim,
+        |  floor(e[i] / nrm * 10000 + 0.5) / 10000 AS unit_val
+        |FROM n, generate_series(1, 64) AS t(i)
+        |ORDER BY vec_id, dim""".stripMargin)),
 
     QuerySpec("e3_cos_neardup", SimilarityQueries.e3CosNeardup,
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings)

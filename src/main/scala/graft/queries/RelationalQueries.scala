@@ -110,7 +110,7 @@ object RelationalQueries {
     * broadcast joins for all dimension sides; the only shuffle is the final
     * aggregate exchange — exactly the plan you'd want at 100 TB. */
   def jMultiwayRevenue(s: SparkSession, d: String): DataFrame = {
-    val li = fanout(Tables.lineitem(s, d))
+    val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
@@ -128,7 +128,7 @@ object RelationalQueries {
     * the inequality lives in a filter, not the join — customer nation ≠
     * supplier nation, counted per supplier. */
   def a4OutOfNation(s: SparkSession, d: String): DataFrame = {
-    val li = fanout(Tables.lineitem(s, d))
+    val li = Tables.lineitem(s, d)
     val sup = Tables.supplier(s, d)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
@@ -146,15 +146,15 @@ object RelationalQueries {
     * deterministic tie-break (count desc, member asc — the stable-sort
     * equivalent of the reference's insertion-ordered counter map). */
   def a1Top3PartsPerCustomer(s: SparkSession, d: String): DataFrame = {
-    val li = fanout(Tables.lineitem(s, d))
+    val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
     // One explicit hash partitioning on o_custkey serves BOTH downstream
     // stages: HashPartitioning(custkey) satisfies the aggregate's
     // ClusteredDistribution(custkey, partkey) (subset rule) AND the top-K
-    // window's partitionBy(custkey) — so neither plans its own Exchange.
-    // (custkey, partkey) groups are near-distinct in this data, so the
-    // partial-agg phase this skips was building a ~full-size hash map per
-    // task for no reduction anyway.
+    // window's partitionBy(custkey) — so EnsureRequirements inserts no
+    // further Exchange for either. (The planner still emits the usual
+    // partial+final HashAggregate pair; the saving is the elided shuffle,
+    // not the partial phase.)
     val counted = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .repartition(col("o_custkey"))
       .groupBy(col("o_custkey"), col("l_partkey"))
@@ -167,7 +167,7 @@ object RelationalQueries {
   /** Top-3 part types per supplier nation (SURVEY §2.5 A5 + §2.4 J9/J10,
     * reference TopSellingGenreByVenue). */
   def a5Top3TypesPerNation(s: SparkSession, d: String): DataFrame = {
-    val li = fanout(Tables.lineitem(s, d))
+    val li = Tables.lineitem(s, d)
     val p = Tables.part(s, d)
     val sup = Tables.supplier(s, d)
     val counted = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
@@ -265,7 +265,7 @@ object RelationalQueries {
     * Spark expands the rollup inside the aggregate, so the fact table is
     * still scanned and shuffled once. */
   def r1RollupRevenue(s: SparkSession, d: String): DataFrame = {
-    val li = fanout(Tables.lineitem(s, d))
+    val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
@@ -337,14 +337,21 @@ object RelationalQueries {
       .orderBy(col("event_type"))
 
   /** Approximate distinct (the 100 TB path a6's scaladoc points at): HLL
-    * sketch per group — no oracle (sketch estimates are engine-specific);
-    * the driver records a rows-only check and [[a6DistinctUsers]] pins the
-    * exact semantics. */
+    * sketch per group. The raw estimate is engine-specific (DuckDB can't
+    * reproduce Spark's HLL++), so the gated output carries the exact
+    * distinct count plus `approx_ok` — a 5%-relative-error assertion on
+    * the sketch — which the oracle pins to literal TRUE. A drifting
+    * estimate flips the boolean and fails the hash, so the sketch is
+    * genuinely gated, not just row-counted. */
   def a8ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05).as("approx_ok"))
       .orderBy(col("event_type"))
 
   /** Pivot (beyond the reference): per-user event-type counts as columns.
@@ -363,18 +370,36 @@ object RelationalQueries {
 
   /** Moving-average window frame (beyond the reference): 7-row trailing
     * mean over the daily revenue series. The daily pre-aggregate shrinks
-    * the window input to one row per day — the window itself is a single
-    * narrow pass; display-rounded because windowed float aggregation
-    * (segment trees vs running sums) differs across engines in the last
-    * ULPs. */
+    * the window input to one row per day, and the trailing window runs
+    * PARTITIONED BY YEAR with a 6-row boundary carry: each year's partition
+    * is prepended with the previous year's last 6 days (flagged, excluded
+    * from output) so frames that straddle New Year see exactly the rows a
+    * global window would — same result, no single-partition WindowExec,
+    * parallelism grows with calendar span instead of collapsing to 1 task.
+    * Display-rounded because windowed float aggregation (segment trees vs
+    * running sums) differs across engines in the last ULPs. */
   def x3MovingAvg(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderdate"))
       .agg(sum(dec(col("o_totalprice"))).cast("double").as("day_rev"))
-    val w = Window.orderBy(col("o_orderdate")).rowsBetween(-6, 0)
-    daily
-      .select(col("o_orderdate"), col("day_rev"),
+      .withColumn("yr", year(col("o_orderdate")))
+    // last 6 days of each year, re-tagged into the NEXT year's partition as
+    // frame-only rows (dates sort strictly before any same-partition date)
+    val lastPerYear = Window.partitionBy(col("yr"))
+      .orderBy(col("o_orderdate").desc)
+    val carry = daily
+      .withColumn("rn", row_number().over(lastPerYear))
+      .filter(col("rn") <= 6).drop("rn")
+      .withColumn("yr", col("yr") + 1)
+      .withColumn("carry", lit(true))
+    val w = Window.partitionBy(col("yr")).orderBy(col("o_orderdate"))
+      .rowsBetween(-6, 0)
+    daily.withColumn("carry", lit(false))
+      .unionByName(carry)
+      .select(col("o_orderdate"), col("day_rev"), col("carry"),
         round4(avg(col("day_rev")).over(w)).as("mov7"))
+      .filter(!col("carry"))
+      .select(col("o_orderdate"), col("day_rev"), col("mov7"))
       .orderBy(col("o_orderdate"))
   }
 

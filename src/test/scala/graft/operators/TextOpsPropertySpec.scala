@@ -35,7 +35,7 @@ class TextOpsPropertySpec extends SparkSpec {
     }
   }
 
-  test("minhash LSH: exact duplicates are always candidates; candidates contain all high-jaccard pairs") {
+  test("minhash LSH: exact dups collapse to one representative; near-dup pairs found via it") {
     // plant exact dups and near-dups among noise
     val base = randText(60)
     val nearDup = base.split(" ").updated(5, "XX").mkString(" ")
@@ -43,9 +43,37 @@ class TextOpsPropertySpec extends SparkSpec {
       Seq((100L, base), (101L, base), (102L, nearDup))).toDF("doc_id", "text")
     val cands = TextOps.minhashCandidates(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
-    assert(cands.contains((100L, 101L)), "exact duplicate pair missed by LSH")
-    assert(cands.contains((100L, 102L)) && cands.contains((101L, 102L)),
-      "0.9-jaccard near-dup pair missed by LSH (16 hashes / 4 bands)")
+    // exact-dup cluster {100,101} collapses to representative 100 BEFORE
+    // banding (canonicalDocs): within-cluster pairs are d1's output, not
+    // LSH's, and banding the whole cluster would put N²/2 pairs in one
+    // bucket — so (100,101) must NOT reappear here
+    assert(!cands.contains((100L, 101L)),
+      "exact-dup pair should be collapsed before banding, not re-emitted by LSH")
+    assert(!cands.exists(p => p._1 == 101L || p._2 == 101L),
+      "non-canonical duplicate 101 leaked into LSH banding")
+    assert(cands.contains((100L, 102L)),
+      "0.9-jaccard near-dup pair (via the cluster representative) missed by LSH (16 hashes / 4 bands)")
+  }
+
+  test("minhash LSH: a 1000-identical-doc cluster yields zero bucket blow-up") {
+    // the dup-cluster skew hole: N byte-identical docs share every band key;
+    // banded naively they put N²/2 ≈ 500k pairs in ONE bucket. canonicalDocs
+    // collapses the cluster first, so the candidate count stays bounded by
+    // the NON-identical corpus structure (here: one planted near-dup pair).
+    val base = randText(60)
+    val nearDup = base.split(" ").updated(7, "YY").mkString(" ")
+    val cluster = (0 until 1000).map(i => (1000L + i, base))
+    val docs = (cluster ++ (0 until 30).map(i => (i.toLong, randText(60))) :+
+      (5000L, nearDup)).toDF("doc_id", "text")
+    val cands = TextOps.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1000L, 5000L)),
+      "near-dup of the cluster representative missed")
+    // bound: all candidates come from the 32 distinct texts, never the
+    // 999 collapsed duplicates — far under the 499500 within-cluster pairs
+    assert(cands.size < 100, s"candidate blow-up: ${cands.size} pairs")
+    assert(!cands.exists(p => p._1 > 1000L && p._1 < 2000L),
+      "non-canonical cluster member leaked into banding")
   }
 
   test("Shingles (codegen) equals the HOF formulation incl. order and short docs") {
