@@ -32,6 +32,14 @@ object Engine {
       // events.parquet carries timestamp[ns]; read as LongType nanos so no
       // precision is silently dropped (we bucket/order on exact int64 nanos).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming state lives in RocksDB, matching the reference's
+      // RocksDB-backed stores (samples/TopCustomerArtists.java:79,
+      // phase3/OutOfStateSales.java:80): state size is bounded by local
+      // disk, not executor heap — the difference between a demo and a
+      // deployment once keyed state outgrows memory. All streaming specs
+      // run under this provider (SparkSpec sets the same).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val withMaster =
       if (SparkSession.getActiveSession.isDefined) b
       else b.master(s"local[$cores]")

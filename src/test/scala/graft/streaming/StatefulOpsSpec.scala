@@ -96,11 +96,24 @@ class StatefulOpsSpec extends SparkSpec {
       }
       seen
     }
+    // poll for the eviction ITSELF (state rows removed across recent
+    // progress reports) rather than sleeping a fixed interval: on a loaded
+    // host the timeout batch can land arbitrarily late, and injecting the
+    // low-seq record while seq=10 state is still alive would both lose the
+    // race and re-arm the TTL timer — a spurious failure
+    def totalRemoved: Long = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsRemoved).sum
+    def awaitEviction(deadlineMs: Long): Boolean = {
+      val deadline = System.currentTimeMillis() + deadlineMs
+      while (System.currentTimeMillis() < deadline && totalRemoved == 0)
+        Thread.sleep(100)
+      totalRemoved > 0
+    }
     try {
       in.addData(Keyed("k1", 10L, "old-high-seq"))
       assert(awaitSink(30000)(_.contains("old-high-seq")).contains("old-high-seq"))
-      Thread.sleep(2000) // let the 500 ms TTL horizon pass; trigger cadence
-                         // runs the timeout batch that evicts k1
+      assert(awaitEviction(60000), "TTL eviction batch never removed k1's state")
       // k1's state is gone: a LOWER seq now wins and gets emitted (with
       // live state, maxBy would re-emit old-high-seq/seq=10 instead)
       in.addData(Keyed("k1", 2L, "fresh-low-seq"))
