@@ -61,20 +61,26 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake in place of a real codec.
     * Derives stable pseudo-features from payload bytes so tests (and the
-    * downstream ANN plumbing) are reproducible. */
+    * downstream ANN plumbing) are reproducible. The seed is the first 32
+    * bits of md5(payload) and everything after it is integer arithmetic, so
+    * an external engine can recompute every output from the payload alone —
+    * that is what lets the m3 gate hash-verify this path end-to-end. Each
+    * feature value is x/2^15 − 1 for a 16-bit x: exact in Float, so the
+    * integer x is exactly recoverable downstream. */
   private[operators] def fakeDecode(r: MediaRecord): MediaFeatures = {
-    val h = java.util.Arrays.hashCode(r.payload)
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(r.payload).substring(0, 8), 16)
     val dim = 16
     val feature = Array.tabulate(dim) { i =>
       // stable per-(payload, i) pseudo-value in [-1, 1)
-      val x = (h * 31 + i * 2654435761L) & 0xffff
+      val x = (h * 31 + i * 2654435761L) % 65536
       (x / 32768.0f) - 1.0f
     }
     MediaFeatures(
       media_id = r.media_id,
       kind = r.kind,
-      width = 64 + (math.abs(h) % 1024),
-      height = 64 + (math.abs(h / 7) % 1024),
+      width = (64 + h % 1024).toInt,
+      height = (64 + (h / 7) % 1024).toInt,
       duration_ms = if (r.kind == "image") 0L else r.n_bytes * 10,
       channels = if (r.kind == "audio") 2 else 3,
       feature = feature)

@@ -446,6 +446,27 @@ object Catalog {
         |FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
         |ORDER BY media_id""".stripMargin)),
 
+    // the decode stub seeds from the first 32 bits of md5(payload); all
+    // downstream integers are recomputed here from the raw text. duration
+    // is quoted in the record's n_bytes = length(text) (CHARS, as in
+    // mediaFromDocuments), not octets. The feature fingerprint hashes the
+    // ','-joined 16-bit x values (feature value = x/2^15 − 1, exact in
+    // Float, so Spark recovers x losslessly before hashing).
+    QuerySpec("m3_decode_features", MultimodalQueries.m3DecodeFeatures,
+      Some("""WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
+        |    length(text) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(64 + (h % 1024) AS INT) AS width,
+        |  CAST(64 + ((h // 7) % 1024) AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE n_chars * 10 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS INT) AS channels,
+        |  md5(array_to_string(list_transform(range(0, 16),
+        |    i -> ((h * 31 + i * 2654435761) % 65536)::VARCHAR), ',')) AS feat_fp
+        |FROM h ORDER BY media_id""".stripMargin)),
+
     QuerySpec("e4_centroid", SimilarityQueries.e4Centroid,
       Some("""WITH u AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS x
         |        FROM embeddings, generate_series(1, 64) AS t(i))

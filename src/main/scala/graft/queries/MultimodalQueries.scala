@@ -32,4 +32,23 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_frames"),
         sum(length(col("frame_bytes"))).as("frame_bytes_total"))
       .orderBy(col("media_id"))
+
+  /** The decode/feature-extract path itself under the oracle: every scalar
+    * the stub decoder emits, plus a fingerprint of the 16-dim feature
+    * vector. The decoder seeds from md5(payload), so DuckDB recomputes the
+    * identical integers from the raw text; the feature floats are x/2^15−1
+    * for 16-bit x (exact in Float), so round((f+1)·2^15) recovers x
+    * losslessly and both engines fingerprint the same ','-joined integer
+    * string. This is the real mapPartitions decode running under a hash
+    * gate — only the codec call inside it is fake. */
+  def m3DecodeFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeStub(Multimodal.mediaFromDocuments(s, d)).toDF()
+      .select(
+        col("media_id"), col("kind"), col("width"), col("height"),
+        col("duration_ms"), col("channels"),
+        md5(concat_ws(",",
+          transform(col("feature"), f =>
+            round((f.cast("double") + 1.0d) * 32768.0d).cast("int").cast("string"))))
+          .as("feat_fp"))
+      .orderBy(col("media_id"))
 }
