@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, Shingles, SimHash16, VecDot}
+import graft.functions.{MinHashSig, Shingles, SimHash16, SimHashSig, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash16)
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.shingles)
+    ext.injectFunction(GraftExtensions.simhashSig)
   }
 }
 
@@ -57,6 +58,21 @@ object GraftExtensions {
           s"minhash_sig numHashes must be an integer literal, got $other")
       }
       MinHashSig(children.head, k)
+    })
+
+  val simhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_sig"),
+    new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new IllegalArgumentException(
+          s"simhash_sig requires (array<string>, nBits), got ${children.length} args")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"simhash_sig nBits must be an integer literal, got $other")
+      }
+      SimHashSig(children.head, n)
     })
 
   val shingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -253,6 +253,111 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Codegen'd wide SimHash signature over an `array<string>` of shingles:
+  * one md5 per element (the same first-4-digest-bytes base hash as
+  * [[MinHashSig]], `('0x' || substr(md5(x), 1, 8))::BIGINT` on the oracle
+  * side), each element voting ±1 on the low `nBits` bits of its base hash,
+  * positive sums setting the output bit — ONE pass over the array.
+  *
+  * This is the discriminative simhash the dedup pipeline bands on:
+  * [[SimHash16]] over per-token hashes is the compact per-doc fingerprint
+  * (d4), but 16 bits saturate at corpus scale — a pair-search needs the
+  * wider signature over shingles (d5). `nBits` ≤ 32 because the base hash
+  * has 32 bits of entropy.
+  *
+  * Null handling mirrors [[MinHashSig]]: null elements are skipped, an
+  * empty or all-null array yields a NULL signature — downstream band bits
+  * null-propagate and never equi-join, so shingle-less docs drop out of
+  * pair search on both engines.
+  */
+case class SimHashSig(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 32, s"simhash width must be in [1,32], got $nBits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_sig"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val sums = new Array[Int](nBits)
+    var contributed = false
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) {
+        contributed = true
+        val d = org.apache.commons.codec.digest.DigestUtils.md5(
+          xs.getUTF8String(i).getBytes)
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var j = 0
+        while (j < nBits) {
+          sums(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!contributed) null
+    else {
+      var out = 0L
+      var j = 0
+      while (j < nBits) {
+        if (sums(j) >= 0) out |= (1L << j)
+        j += 1
+      }
+      out
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val h = ctx.freshName("h")
+      val sums = ctx.freshName("sums")
+      val any = ctx.freshName("any")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $sums = new int[$nBits];
+         |boolean $any = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  $any = true;
+         |  byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5(
+         |    $a.getUTF8String($i).getBytes());
+         |  long $h = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
+         |    (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |  for (int $j = 0; $j < $nBits; $j++) {
+         |    $sums[$j] += ((($h >> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |if (!$any) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $out = 0L;
+         |  for (int $j = 0; $j < $nBits; $j++) {
+         |    if ($sums[$j] >= 0) $out |= (1L << $j);
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
 /** Codegen'd distinct n-token shingles over an `array<string>` token
   * column: one pass building each window with `UTF8String.concatWs` and
   * deduplicating through an insertion-ordered set.
@@ -350,4 +455,10 @@ object VectorFunctions {
     * (codegen'd, one pass, insertion-ordered dedup). */
   def shingles(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(Shingles(GraftColumnBridge.expression(tokens), n))
+
+  /** Wide (≤32-bit) SimHash signature of an array<string> shingle column
+    * (codegen'd, one pass — md5 base hash + bit votes). */
+  def simhash_sig(shingles: Column, nBits: Int): Column =
+    GraftColumnBridge.column(
+      SimHashSig(GraftColumnBridge.expression(shingles), nBits))
 }

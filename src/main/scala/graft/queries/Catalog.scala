@@ -316,6 +316,41 @@ object Catalog {
         |  FROM cands JOIN shx sa ON id1 = sa.doc_id JOIN shx sb ON id2 = sb.doc_id) t
         |WHERE j >= 0.8 ORDER BY id1, id2""".stripMargin)),
 
+    // banded 32-bit shingle simhash pairs (SimHashSig): same md5 base hash
+    // as minhash, ±1 vote per shingle per bit, banded 4×8 bits (pigeonhole:
+    // hamming ≤ 3 ⇒ one exact band), verified with bit_count(xor). A
+    // shingle-less doc gets a NULL signature on both engines (NULL band
+    // bits never equi-join).
+    QuerySpec("d5_simhash_pairs", TextQueries.d5SimhashPairs, Some {
+      val sums = (0 until 32).map(j =>
+        s"list_sum(list_transform(dt, x -> CASE WHEN ((('0x' || substr(md5(x), 1, 8))::BIGINT >> $j) & 1) = 1 THEN 1 ELSE -1 END)) AS bs$j")
+        .mkString(",\n  ")
+      val bits = (0 until 32).map(j => s"(CASE WHEN bs$j >= 0 THEN ${1L << j}::BIGINT ELSE 0 END)")
+        .mkString(" + ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, sig, $b AS band, (sig >> ${8 * b}) & 255 AS bits FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |tk AS (SELECT d.doc_id, string_split(d.text, ' ') AS t
+         |       FROM documents d JOIN canon ON d.doc_id = canon.doc_id),
+         |shx AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+         |  THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |  ELSE []::VARCHAR[] END) AS dt FROM tk),
+         |s AS (SELECT doc_id, len(dt) AS n_sh,
+         |  $sums
+         |FROM shx),
+         |sig AS (SELECT doc_id,
+         |  CASE WHEN n_sh = 0 THEN NULL ELSE CAST($bits AS BIGINT) END AS sig FROM s),
+         |bands AS (
+         |  $bandRows),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sig AS s1, b.sig AS s2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+         |FROM pairs WHERE bit_count(xor(s1, s2)) <= 3
+         |ORDER BY id1, id2""".stripMargin
+    }),
+
     QuerySpec("d4_simhash16", TextQueries.d4Simhash, Some {
       val sums = (0 until 16).map(j =>
         s"list_sum(list_transform(dt, x -> CASE WHEN ((('0x' || substr(md5(x), 1, 4))::INT >> $j) & 1) = 1 THEN 1 ELSE -1 END)) AS bs$j")

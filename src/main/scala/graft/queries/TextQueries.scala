@@ -52,6 +52,13 @@ object TextQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Near-duplicate pairs by banded SimHash + exact hamming verify — the
+    * third dedup modality (exact d1, shingle-Jaccard d2/d3, bit-signature
+    * here): catches token-permutation near-dups that shingling misses. */
+  def d5SimhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id1"), col("id2"))
+
   /** 16-bit SimHash per document. */
   def d4Simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

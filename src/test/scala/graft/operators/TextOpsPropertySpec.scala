@@ -92,6 +92,63 @@ class TextOpsPropertySpec extends SparkSpec {
     assert(gen(903L) == Seq("a b c") && gen(904L) == Seq("dup dup dup"))
   }
 
+  test("SimHashSig (codegen, one pass) equals a driver-side reference; null on empty") {
+    val docs = ((0 until 60).map(i => (i.toLong, randText(5 + rnd.nextInt(80)))) :+
+      (999L, "a b")) // < 3 tokens -> empty shingles -> null signature
+      .toDF("doc_id", "text")
+    val sh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), TextOps.shinglesOf(col("t")).as("sh"))
+    // driver-side reference: same md5 slice, same votes, plain Scala
+    def refSim(shingles: Seq[String], nBits: Int): Option[Long] =
+      if (shingles.isEmpty) None
+      else {
+        val sums = new Array[Int](nBits)
+        shingles.foreach { s =>
+          val d = org.apache.commons.codec.digest.DigestUtils.md5(s.getBytes)
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          (0 until nBits).foreach(j => sums(j) += (if (((h >> j) & 1L) == 1L) 1 else -1))
+        }
+        Some((0 until nBits).foldLeft(0L)((acc, j) =>
+          if (sums(j) >= 0) acc | (1L << j) else acc))
+      }
+    val collected = sh.collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val viaExpr = sh.select(col("doc_id"),
+      graft.functions.VectorFunctions.simhash_sig(col("sh"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    collected.foreach { case (id, shs) =>
+      assert(viaExpr(id) == refSim(shs, 32), s"doc $id signature differs")
+    }
+    assert(viaExpr(999L).isEmpty, "shingle-less doc must get a null signature")
+    // SQL registration path
+    spark.sessionState.functionRegistry.registerFunction(
+      graft.GraftExtensions.simhashSig._1,
+      graft.GraftExtensions.simhashSig._2, graft.GraftExtensions.simhashSig._3)
+    val viaSql = sh.createOrReplaceTempView("simhash_sig_in")
+    val sqlRes = spark.sql(
+      "SELECT doc_id, simhash_sig(sh, 32) AS sig FROM simhash_sig_in")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(sqlRes == viaExpr)
+  }
+
+  test("simhashPairs: planted near-dup found, exact dups collapsed, count bounded") {
+    val base = randText(200)
+    val nearDup = base + " extra" // 3 changed shingles of ~198 -> tiny hamming
+    val docs = ((0 until 40).map(i => (i.toLong, randText(60))) ++
+      Seq((100L, base), (101L, base), (102L, nearDup))).toDF("doc_id", "text")
+    val pairs = TextOps.simhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    val idPairs = pairs.map(p => (p._1, p._2)).toSet
+    assert(idPairs.contains((100L, 102L)), "near-dup pair missed by banded simhash")
+    assert(!idPairs.exists(p => p._1 == 101L || p._2 == 101L),
+      "non-canonical exact duplicate leaked into simhash banding")
+    assert(pairs.forall(_._3 <= 3), "hamming verify filter failed")
+    assert(pairs.length < 50, s"chance-collision blow-up: ${pairs.length} pairs")
+  }
+
   test("MinHashSig (codegen, one pass) equals the element-wise HOF formulation") {
     val k = 16
     val docs = ((0 until 60).map(i => (i.toLong, randText(5 + rnd.nextInt(80)))) :+
