@@ -86,6 +86,62 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), Relational.round4(col("cos")).as("cos"))
   }
 
+  /** Multi-probe IVF ANN: each query probes its `nprobe` nearest cells by
+    * CENTROID similarity instead of only its own assignment — the standard
+    * IVF recall dial (a query near a cell boundary finds neighbors that
+    * landed on the other side).
+    *
+    * The centroids are derived in-plan from the corpus (the e4 training
+    * step): posexplode → (label, dim) partial means — the map-reduce
+    * centroid plan, never a collect — then re-assembled to one array per
+    * cell. Means are display-rounded (round4) BEFORE any distance math:
+    * float sums in shuffled order are not bit-reproducible across engines,
+    * rounded means are, and every downstream distance is then a
+    * deterministic left-to-right fold over identical inputs.
+    *
+    * Scale: centroid derivation is one cheap aggregation (cells × dims
+    * rows); the probe ranking is |queries| × |cells| against a broadcast
+    * centroid table; the scan stays O(nprobe · |cell| · |queries|) via the
+    * same broadcast equi-join as [[knnIVF]] — recall rises with nprobe at
+    * linear, bounded cost, still never O(|corpus| · |queries|).
+    */
+  def knnIVFMultiProbe(
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cent = corpus
+      .select(col("label"), posexplode(asDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("c"))
+      .select(col("label"), col("pos"), Relational.round4(col("c")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cent"))
+      .withColumn("cent_norm", norm(col("cent")))
+    val q = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("label").asc)
+    val probed = q
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("q_emb"), col("cent")) / (col("q_norm") * col("cent_norm")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("label").as("q_cell"))
+    val c = corpus
+      .repartition(par)
+      .select(col("vec_id").as("n_id"), asDouble(col("embedding")).as("n_emb"),
+        col("label").as("n_cell"))
+      .withColumn("n_norm", norm(col("n_emb")))
+    val scored = c
+      .join(broadcast(probed), col("q_cell") === col("n_cell") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), Relational.round4(col("cos")).as("cos"))
+  }
+
   /** Exact embedding dedup at a cosine threshold over LSH-style cells: pairs
     * within the same coarse cell with cosine ≥ threshold. Near-dup detection
     * for embedding-indexed corpora; the cell join bounds the pair blowup.

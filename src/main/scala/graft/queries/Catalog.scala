@@ -464,6 +464,36 @@ object Catalog {
         |      FROM s)
         |SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // multi-probe IVF: centroids are the round4'd per-(label,dim) means
+    // (identical on both engines — raw float sums are shuffle-order
+    // dependent, rounded means are not), so the probe ranking and every
+    // downstream distance is a deterministic fold over identical inputs
+    QuerySpec("e6_knn_ivf_multiprobe", SimilarityQueries.e6KnnIVFMultiProbe,
+      Some("""WITH u AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS x
+        |        FROM embeddings, generate_series(1, 64) AS t(i)),
+        |cm AS (SELECT label, dim, floor(avg(x) * 10000 + 0.5) / 10000 AS c
+        |       FROM u GROUP BY label, dim),
+        |cent AS (SELECT label, list(c ORDER BY dim) AS cent FROM cm GROUP BY label),
+        |cn AS (SELECT label, cent, sqrt(list_dot_product(cent, cent)) AS cent_norm FROM cent),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
+        |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
+        |      FROM embeddings WHERE vec_id < 10),
+        |pr AS (SELECT q_id, qe, q_norm, label,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY list_dot_product(qe, cent) / (q_norm * cent_norm) DESC, label) AS prank
+        |      FROM q, cn),
+        |probed AS (SELECT q_id, qe, q_norm, label AS q_cell FROM pr WHERE prank <= 2),
+        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS ne, label AS n_cell,
+        |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n_norm
+        |      FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_dot_product(qe, ne) / (q_norm * n_norm) AS cos
+        |      FROM probed JOIN c ON q_cell = n_cell AND q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank,
+        |        floor(cos * 10000 + 0.5) / 10000 AS cos
+        |      FROM s)
+        |SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     QuerySpec("m1_payload_meta", MultimodalQueries.m1PayloadMeta,
       Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         |  md5(text) AS payload_md5,

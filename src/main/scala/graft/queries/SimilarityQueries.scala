@@ -23,6 +23,13 @@ object SimilarityQueries {
     knnIVF(Tables.embeddings(s, d), queriesSide(s, d), 5)
       .orderBy(col("q_id"), col("rank"))
 
+  /** Multi-probe IVF ANN: probe the 2 nearest cells by centroid similarity
+    * (centroids derived in-plan — the e4 training step feeding the e2
+    * search shape; the recall dial over single-probe IVF). */
+  def e6KnnIVFMultiProbe(s: SparkSession, d: String): DataFrame =
+    knnIVFMultiProbe(Tables.embeddings(s, d), queriesSide(s, d), 5, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+
   /** Embedding near-dup pairs within a coarse cell at cosine ≥ 0.35. */
   def e3CosNeardup(s: SparkSession, d: String): DataFrame =
     cosineNearDupPairs(Tables.embeddings(s, d), 0.35)

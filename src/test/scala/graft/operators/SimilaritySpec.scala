@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the ANN recall semantics the gate queries can't distinguish:
+  * a query assigned to one cell whose true nearest neighbor sits in
+  * ANOTHER cell (the boundary case multi-probe exists for). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // two clusters ~45° apart in the (x,y) plane; the query sits between
+  // them, assigned to cell 0 but angularly closer to cell 1's members
+  private def corpus() = {
+    val cell0 = (10 to 19).map(i => (i.toLong, Array(1.0f, 0.01f * (i - 10), 0f, 0f), 0L))
+    val cell1 = (20 to 29).map(i => (i.toLong, Array(0.7f, 0.7f + 0.01f * (i - 20), 0f, 0f), 1L))
+    val query = Seq((0L, Array(0.9f, 0.44f, 0f, 0f), 0L))
+    (cell0 ++ cell1 ++ query).toDF("vec_id", "embedding", "label")
+  }
+
+  test("single-probe IVF stays in the assigned cell; multi-probe recovers the true neighbor") {
+    val all = corpus()
+    val q = all.filter($"vec_id" === 0L)
+
+    val brute = Similarity.knnBruteForce(all, q, 5)
+      .orderBy($"rank").select($"n_id").as[Long].collect().toSeq
+    assert(brute.head >= 20L && brute.head <= 29L,
+      s"construction broken: true nearest ${brute.head} should be in cell 1")
+
+    val single = Similarity.knnIVF(all, q, 5)
+      .orderBy($"rank").select($"n_id").as[Long].collect().toSeq
+    assert(single.nonEmpty && single.forall(id => id >= 10L && id <= 19L),
+      "single-probe must only see its own cell")
+
+    // nprobe=2 covers both cells here, so multi-probe must equal brute force
+    val multi = Similarity.knnIVFMultiProbe(all, q, 5, nprobe = 2)
+      .orderBy($"rank").select($"n_id").as[Long].collect().toSeq
+    assert(multi == brute,
+      s"multi-probe over all cells must match brute force: $multi vs $brute")
+  }
+
+  test("multi-probe with nprobe=1 degrades to probing the nearest CENTROID (not the assignment)") {
+    val all = corpus()
+    val q = all.filter($"vec_id" === 0L)
+    // the query's angle is nearer cell 1's centroid than cell 0's, so even
+    // nprobe=1 centroid-probing beats assignment-probing for this query
+    val multi1 = Similarity.knnIVFMultiProbe(all, q, 5, nprobe = 1)
+      .orderBy($"rank").select($"n_id").as[Long].collect().toSeq
+    assert(multi1.nonEmpty && multi1.forall(id => id >= 20L && id <= 29L),
+      s"nprobe=1 should probe the nearest-centroid cell (cell 1), got $multi1")
+  }
+}
