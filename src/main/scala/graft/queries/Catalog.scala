@@ -494,6 +494,34 @@ object Catalog {
         |      FROM s)
         |SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // int8 scalar quantization: all ops correctly-rounded IEEE (abs, max,
+    // divide, floor) — bit-identical across engines, no display rounding
+    QuerySpec("e7_quantize", SimilarityQueries.e7Quantize,
+      Some("""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, i AS dim,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE floor(e[i] / scale + 0.5) END AS INT) AS qval,
+        |  scale
+        |FROM s, generate_series(1, 64) AS t(i)
+        |ORDER BY vec_id, dim""".stripMargin)),
+
+    // tf-idf ranks on the ROUNDED score (libm ln is not correctly-rounded;
+    // round4 makes the ranking key engine-independent), ties by term asc
+    QuerySpec("t9_tfidf", TextQueries.t9Tfidf,
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf,
+        |    floor(tf * ln((n_docs + 1) / (df + 1)) * 10000 + 0.5) / 10000 AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin)),
+
     QuerySpec("m1_payload_meta", MultimodalQueries.m1PayloadMeta,
       Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         |  md5(text) AS payload_md5,

@@ -50,6 +50,26 @@ object SimilarityQueries {
         graft.operators.Relational.round4(col("col") / col("norm")).as("unit_val"))
       .orderBy(col("vec_id"), col("dim"))
 
+  /** Int8 scalar quantization — the ANN memory-compression step (float32 →
+    * int8 is the 4× that turns a 100 TB embedding store into 25 TB, with
+    * the per-vector scale kept for dequantization). qval = ⌊x/scale + ½⌋
+    * with scale = max|x|/127: every operation (abs, max, divide, floor) is
+    * correctly-rounded IEEE, so both engines produce bit-identical results
+    * with no display rounding. Output exploded to scalar rows (gate-
+    * hashable); a zero vector quantizes to zeros, not NaN. */
+  def e7Quantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale",
+        array_max(transform(col("e"), x => abs(x))) / lit(127.0))
+      .select(col("vec_id"), col("scale"), posexplode(col("e")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(col("col") / col("scale") + lit(0.5)))
+          .cast("int").as("qval"),
+        col("scale"))
+      .orderBy(col("vec_id"), col("dim"))
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles

@@ -157,6 +157,35 @@ object TextQueries {
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(20)
 
+  /** Per-document top-5 terms by TF-IDF. Plan shape at scale: one explode
+    * feeds BOTH the (doc, term) tf aggregate and the term df aggregate
+    * (partial aggregation collapses map-side); df joins back on term (a
+    * term-cardinality shuffle, ≪ token instances); the corpus size is a
+    * 1-row broadcast. Ranking uses the display-ROUNDED score (then term
+    * asc): libm `ln` is not guaranteed correctly-rounded, so ranking raw
+    * doubles could diverge across engines in the last ulp — rounded scores
+    * cannot. */
+  def t9Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", graft.operators.Relational.round4(
+        col("tf") * log((col("n_docs") + 1) / (col("df") + 1))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Exact length quantiles per language (linear interpolation); the
     * distribution-profiling step of corpus QA. Exact `percentile` needs the
     * group's values collected per group — fine for bounded group counts; at
