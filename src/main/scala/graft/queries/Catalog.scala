@@ -194,6 +194,16 @@ object Catalog {
         |FROM events GROUP BY hour_bucket, event_type
         |ORDER BY hour_bucket, event_type""".stripMargin)),
 
+    // hopping windows: event at hop index h belongs to windows starting at
+    // h and h-1 (1 h length / 30 min hop = 2 covering windows per event)
+    QuerySpec("w3_hopping_rollup", RelationalQueries.w3HoppingRollup,
+      Some(s"""WITH e AS (SELECT epoch_ns(ts) // 1800000000000 AS h, event_type, value FROM events)
+        |SELECT (h - k) * 1800000000 AS win_start_us, event_type,
+        |  count(*) AS n, ${sumDecSql("value")} AS sum_value
+        |FROM e, (VALUES (0), (1)) AS t(k)
+        |GROUP BY win_start_us, event_type
+        |ORDER BY win_start_us, event_type""".stripMargin)),
+
     QuerySpec("s3_asof_enrich", RelationalQueries.s3AsofEnrich,
       Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS t, max(event_id) AS view_event_id
         |        FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)),

@@ -412,4 +412,23 @@ object RelationalQueries {
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
+
+  /** Hopping-window rollup (1 h windows sliding every 30 min — the batch
+    * twin of [[graft.streaming.WindowedOps.slidingRollup]]): each event
+    * lands in exactly windowLen/hop = 2 windows, made explicit by exploding
+    * the two covering hop indices — integer nano math, a 2× fan-out in the
+    * scan stage, then one ordinary aggregate shuffle (the same plan a
+    * streaming hopping window executes per micro-batch). */
+  def w3HoppingRollup(s: SparkSession, d: String): DataFrame = {
+    val hopNs = 1800000000000L // 30 min
+    Tables.events(s, d)
+      .withColumn("h", expr(s"ts div $hopNs"))
+      .select(col("event_type"), col("value"),
+        explode(array(col("h"), col("h") - 1)).as("win_no"))
+      .groupBy(col("win_no"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select((col("win_no") * 1800000000L).as("win_start_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+  }
 }
