@@ -57,6 +57,24 @@ class WindowedOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingRollup lands each event in windowLen/slide overlapping windows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = WindowedOps.slidingRollup(in.toDF(), "ts", "event_type", "value",
+      windowLen = "1 hour", slide = "30 minutes")
+      .writeStream.format("memory").queryName("slide_out").outputMode("update").start()
+    try {
+      in.addData(Evt(t("2024-01-01 10:40:00"), "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("slide_out")
+        .select("window_start", "n", "sum_value")
+        .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+      // 10:40 is covered by the 1 h windows starting 10:00 and 10:30
+      assert(rows.map(r => (r._1.toString, r._2, r._3)).toSeq ==
+        Seq(("2024-01-01 10:00:00.0", 1L, 3.0), ("2024-01-01 10:30:00.0", 1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("vec_dot / simhash16 register as SQL functions (GraftExtensions builders)") {
     Seq(GraftExtensions.vecDot, GraftExtensions.simhash16).foreach {
       case (ident, info, builder) =>
