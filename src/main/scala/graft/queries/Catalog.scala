@@ -436,6 +436,25 @@ object Catalog {
         |  FROM documents) t
         |GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 20""".stripMargin)),
 
+    QuerySpec("t10_repetition", TextQueries.t10Repetition,
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |m AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |        count(*) AS n_distinct, max(tf) AS top_tf
+        |      FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  floor(top_tf::DOUBLE / n_tokens * 10000 + 0.5) / 10000 AS top_tok_ratio,
+        |  (floor(top_tf::DOUBLE / n_tokens * 10000 + 0.5) / 10000 <= 0.2
+        |    AND n_tokens >= 10) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("t11_source_cap", TextQueries.t11SourceCap(_, _),
+      Some("""SELECT source, doc_id, pick FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS INT) AS pick
+        |  FROM documents) t
+        |WHERE pick <= 20 ORDER BY source, pick""".stripMargin)),
+
     QuerySpec("t6_hash_sample", TextQueries.t6HashSample,
       Some("""SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0

@@ -186,6 +186,44 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Repetition filter (the Gopher-style rule family): per-doc token
+    * counts, distinct-token counts, and the top-token frequency ratio —
+    * docs dominated by one repeated token are low-quality boilerplate.
+    * One explode, one (doc, token) aggregate, one per-doc re-aggregate:
+    * map-side partials collapse both shuffles to cardinalities. */
+  def t10Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        graft.operators.Relational.round4(
+          col("top_tf").cast("double") / col("n_tokens")).as("top_tok_ratio"))
+      .withColumn("keep",
+        col("top_tok_ratio") <= 0.2 && col("n_tokens") >= 10)
+      .orderBy(col("doc_id"))
+
+  /** Per-source capping — the data-mixing step (cap each source's
+    * contribution, choosing docs by content-hash order so the subsample is
+    * deterministic, reproducible, and independent of storage layout; same
+    * idiom as t6's hash sampling). The per-source window runs over
+    * source-partitioned data; WindowGroupLimit prunes each partition to
+    * the cap before any full sort. */
+  def t11SourceCap(s: SparkSession, d: String, cap: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__hk").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), md5(col("text").cast("binary")).as("__hk"))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= cap)
+      .select(col("source"), col("doc_id"), col("pick"))
+      .orderBy(col("source"), col("pick"))
+  }
+
   /** Exact length quantiles per language (linear interpolation); the
     * distribution-profiling step of corpus QA. Exact `percentile` needs the
     * group's values collected per group — fine for bounded group counts; at
