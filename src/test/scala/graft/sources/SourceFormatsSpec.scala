@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Source-format round-trips: a user of the engine lands data as CSV or
+  * JSON-lines as often as parquet. Pins (a) schema-explicit reads — schema
+  * inference is a full extra pass at 100 TB and type-unstable, so every
+  * read here supplies the schema; (b) value fidelity across the round-trip
+  * against the parquet ground truth; (c) malformed-record isolation
+  * (PERMISSIVE + corrupt-record column) rather than job failure. */
+class SourceFormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  test("JSONL round-trip preserves every row and value") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(docSchema).json(dir)
+    assert(back.count() == docs.count())
+    val a = docs.select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    val b = back.select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "text fidelity lost through JSONL")
+  }
+
+  test("CSV round-trip with explicit schema, quoting and escapes intact") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // documents text is free-form: quoting/escaping is the failure mode
+    // this round-trip exercises
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(dir)
+    val back = spark.read.schema(docSchema)
+      .option("header", "true").option("escape", "\"")
+      .csv(dir)
+    assert(back.count() == docs.count())
+    val a = docs.select(sum($"n_chars"), md5(concat_ws("|",
+      sort_array(collect_list(md5($"text".cast("binary")))))))
+      .as[(Long, String)].head()
+    val b = back.select(sum($"n_chars"), md5(concat_ws("|",
+      sort_array(collect_list(md5($"text".cast("binary")))))))
+      .as[(Long, String)].head()
+    assert(a == b, "CSV round-trip corrupted rows")
+  }
+
+  test("malformed JSON lines isolate into the corrupt-record column, not a job failure") {
+    val dir = Files.createTempDirectory("graft_bad").toString
+    Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}
+        |{not json at all
+        |{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}
+        |""".stripMargin.getBytes)
+    val withCorrupt = docSchema.add("_corrupt_record", StringType)
+    val read = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // corrupt-record column cannot be queried alone; cache keeps
+               // the full rows so both counts read the same materialization
+    try {
+      assert(read.count() == 3)
+      assert(read.filter($"_corrupt_record".isNotNull).count() == 1)
+      assert(read.filter($"doc_id".isNotNull).count() == 2)
+    } finally read.unpersist()
+  }
+}
