@@ -157,9 +157,11 @@ object TextQueries {
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(20)
 
-  /** Per-document top-5 terms by TF-IDF. Plan shape at scale: one explode
-    * feeds BOTH the (doc, term) tf aggregate and the term df aggregate
-    * (partial aggregation collapses map-side); df joins back on term (a
+  /** Per-document top-5 terms by TF-IDF. Plan shape at scale: ONE explode
+    * feeds everything — the (doc, term) tf aggregate is persisted and df is
+    * derived FROM it (its rows are distinct (doc, term) pairs by
+    * construction, so df = a second aggregation of the aggregate — no
+    * second explode, no distinct pass); df joins back on term (a
     * term-cardinality shuffle, ≪ token instances); the corpus size is a
     * 1-row broadcast. Ranking uses the display-ROUNDED score (then term
     * asc): libm `ln` is not guaranteed correctly-rounded, so ranking raw
@@ -168,9 +170,10 @@ object TextQueries {
   def t9Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // persisted: feeds both the score join's left side and the df derivation
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(df, "term")
