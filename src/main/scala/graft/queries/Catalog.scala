@@ -326,6 +326,28 @@ object Catalog {
         |  FROM cands JOIN shx sa ON id1 = sa.doc_id JOIN shx sb ON id2 = sb.doc_id) t
         |WHERE j >= 0.8 ORDER BY id1, id2""".stripMargin)),
 
+    // dup clusters = connected components over the d3 pair list; the
+    // oracle walks the transitive closure with a recursive CTE (min
+    // reachable id = the cluster label, matching min-label propagation)
+    QuerySpec("d6_dup_clusters", TextQueries.d6DupClusters,
+      Some(s"""WITH RECURSIVE $minhashCtes,
+        |dup AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT id1, id2,
+        |      len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |        (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh))::DOUBLE) AS j
+        |    FROM cands JOIN shx sa ON id1 = sa.doc_id JOIN shx sb ON id2 = sb.doc_id) t
+        |  WHERE j >= 0.8),
+        |e AS (SELECT id1, id2 FROM dup UNION SELECT id2 AS id1, id1 AS id2 FROM dup),
+        |walk AS (
+        |  SELECT id1 AS id, id1 AS reach FROM e
+        |  UNION
+        |  SELECT w.id, e.id2 AS reach FROM walk w JOIN e ON w.reach = e.id1),
+        |comp AS (SELECT id, min(reach) AS cluster FROM walk GROUP BY id)
+        |SELECT id AS doc_id, cluster,
+        |  count(*) OVER (PARTITION BY cluster) AS cluster_size
+        |FROM comp ORDER BY cluster, doc_id""".stripMargin)),
+
     // banded 32-bit shingle simhash pairs (SimHashSig): same md5 base hash
     // as minhash, ±1 vote per shingle per bit, banded 4×8 bits (pigeonhole:
     // hamming ≤ 3 ⇒ one exact band), verified with bit_count(xor). A

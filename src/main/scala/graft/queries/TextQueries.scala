@@ -52,6 +52,21 @@ object TextQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Dup-cluster collapse: the verified near-dup PAIRS (d3) become GROUPS
+    * via distributed connected components ([[graft.operators.Graph]]),
+    * labeled by min member id — the step that decides which docs a dedup
+    * actually drops (keep one representative per cluster). The d3 pipeline
+    * materializes once into the component iteration's persisted edge list. */
+  def d6DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d3JaccardDupes(s, d).select(col("id1"), col("id2"))
+    val labels = graft.operators.Graph.connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    labels
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+
   /** Near-duplicate pairs by banded SimHash + exact hamming verify — the
     * third dedup modality (exact d1, shingle-Jaccard d2/d3, bit-signature
     * here): catches token-permutation near-dups that shingling misses. */

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.util.Random
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id labeling: path-compress everything, roots are minima by merge rule
+    parent.keys.toSeq.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents equals a union-find reference on random graphs") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(run(edges) == unionFind(edges), s"trial $trial diverged")
+    }
+  }
+
+  test("chain graphs converge (diameter bound) and label by min id") {
+    // a 20-node chain: worst diameter shape for label propagation
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.size == 20 && got.values.forall(_ == 0L))
+    // two disjoint cliques keep distinct labels
+    val cliques = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong)) ++
+      (for { a <- 10 to 13; b <- 10 to 13 if a < b } yield (a.toLong, b.toLong))
+    val g2 = run(cliques)
+    assert(g2.filter(_._1 < 10).values.toSet == Set(0L))
+    assert(g2.filter(_._1 >= 10).values.toSet == Set(10L))
+  }
+}
