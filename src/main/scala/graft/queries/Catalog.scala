@@ -326,6 +326,47 @@ object Catalog {
         |  FROM cands JOIN shx sa ON id1 = sa.doc_id JOIN shx sb ON id2 = sb.doc_id) t
         |WHERE j >= 0.8 ORDER BY id1, id2""".stripMargin)),
 
+    // the composed corpus-cleaning pipeline: t10 rules + d1 canon + d6
+    // cluster reps, per-(lang, source) before/after stats; 0-coalesced for
+    // groups that lose every doc
+    QuerySpec("c1_corpus_pipeline", TextQueries.c1CorpusPipeline,
+      Some(s"""WITH RECURSIVE $minhashCtes,
+        |tx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tfx AS (SELECT doc_id, tok, count(*) AS tf FROM tx GROUP BY doc_id, tok),
+        |mx AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, max(tf) AS top_tf
+        |       FROM tfx GROUP BY doc_id),
+        |metrics AS (SELECT doc_id, n_tokens,
+        |    floor(top_tf::DOUBLE / n_tokens * 10000 + 0.5) / 10000 AS ratio FROM mx),
+        |dup AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT id1, id2,
+        |      len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |        (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh))::DOUBLE) AS j
+        |    FROM cands JOIN shx sa ON id1 = sa.doc_id JOIN shx sb ON id2 = sb.doc_id) t
+        |  WHERE j >= 0.8),
+        |e AS (SELECT id1, id2 FROM dup UNION SELECT id2 AS id1, id1 AS id2 FROM dup),
+        |walk AS (
+        |  SELECT id1 AS id, id1 AS reach FROM e
+        |  UNION
+        |  SELECT w.id, e.id2 AS reach FROM walk w JOIN e ON w.reach = e.id1),
+        |comp AS (SELECT id, min(reach) AS cluster FROM walk GROUP BY id),
+        |drop_ids AS (SELECT id FROM comp WHERE id <> cluster),
+        |canon2 AS (SELECT d.doc_id, d.lang, d.source
+        |           FROM documents d JOIN canon ON d.doc_id = canon.doc_id),
+        |kept AS (SELECT c.lang, c.source, m.n_tokens
+        |         FROM canon2 c JOIN metrics m USING (doc_id)
+        |         WHERE c.doc_id NOT IN (SELECT id FROM drop_ids)
+        |           AND m.ratio <= 0.2 AND m.n_tokens >= 10),
+        |tot AS (SELECT lang, source, count(*) AS docs_in FROM documents GROUP BY lang, source),
+        |agg AS (SELECT lang, source, count(*) AS docs_kept,
+        |          CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+        |        FROM kept GROUP BY lang, source)
+        |SELECT t.lang, t.source, t.docs_in,
+        |  coalesce(a.docs_kept, 0) AS docs_kept,
+        |  CAST(coalesce(a.tokens_kept, 0) AS BIGINT) AS tokens_kept
+        |FROM tot t LEFT JOIN agg a USING (lang, source)
+        |ORDER BY lang, source""".stripMargin)),
+
     // dup clusters = connected components over the d3 pair list; the
     // oracle walks the transitive closure with a recursive CTE (min
     // reachable id = the cluster label, matching min-label propagation)

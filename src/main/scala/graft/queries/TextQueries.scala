@@ -52,6 +52,44 @@ object TextQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** The whole corpus-cleaning pipeline composed end-to-end — what a user
+    * actually runs: repetition/quality filter (t10's rules) → exact-dedup
+    * representatives (d1) → near-dup cluster collapse (d3 pairs → d6
+    * components, keep the min-id representative) → per-(lang, source)
+    * corpus stats with before/after doc counts and surviving token mass.
+    * Every stage is individually oracle-proven; this row proves the
+    * COMPOSITION (join plumbing, filter order, null handling for groups
+    * that lose every doc). */
+  def c1CorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val metrics = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), max(col("tf")).as("top_tf"))
+      .select(col("doc_id"), col("n_tokens"),
+        graft.operators.Relational.round4(
+          col("top_tf").cast("double") / col("n_tokens")).as("ratio"))
+    val canon = canonicalDocs(docs, "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"))
+    val clusters = graft.operators.Graph.connectedComponents(
+      d3JaccardDupes(s, d).select(col("id1"), col("id2")))
+    val dropIds = clusters.filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val keptStats = canon
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .join(metrics, "doc_id")
+      .filter(col("ratio") <= 0.2 && col("n_tokens") >= 10)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+    docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("docs_in"))
+      .join(keptStats, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("docs_in"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Dup-cluster collapse: the verified near-dup PAIRS (d3) become GROUPS
     * via distributed connected components ([[graft.operators.Graph]]),
     * labeled by min member id — the step that decides which docs a dedup
