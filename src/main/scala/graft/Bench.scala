@@ -27,6 +27,7 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Engine.tuneLogging()
 
     val failed = scala.collection.mutable.ListBuffer[String]()
     def exec(name: String): Double = {

@@ -16,6 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     dimension side is known-small by construction.
   */
 object Engine {
+  /** Silence WindowExec's "No Partition Defined" warning. The engine has
+    * exactly one deliberately-global window (`x3_moving_avg`, whose input
+    * is calendar-bounded — see its scaladoc); the per-execution warning is
+    * noise there and would train readers to ignore it where it matters. */
+  def tuneLogging(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   def session(appName: String = "graft", cores: String = "32"): SparkSession = {
     val b = SparkSession
       .builder()
@@ -45,6 +54,7 @@ object Engine {
       else b.master(s"local[$cores]")
     val spark = withMaster.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    tuneLogging()
     spark
   }
 }

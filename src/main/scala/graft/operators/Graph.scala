@@ -41,10 +41,17 @@ object Graph {
     * rounds; an IllegalStateException at the bound beats silently wrong
     * clusters. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // eager localCheckpoint: materialize AND cut lineage (see scaladoc)
+    // persist (CacheManager-backed, so the explicit unpersist below works;
+    // its lineage is one union deep — no truncation needed)
     val sym = edges.select(col("id1"), col("id2"))
       .union(edges.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint(true)
+      .persist()
+    // per-round labels use eager localCheckpoint: materialize AND cut
+    // lineage (see scaladoc). Dataset.unpersist is a no-op for
+    // checkpointed frames (their blocks belong to an internal RDD, not the
+    // CacheManager); dropping each round's reference lets ContextCleaner
+    // reclaim its blocks after driver GC — bounded by GC cadence, not
+    // session lifetime.
     var labels = sym.select(col("id1").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -65,10 +72,11 @@ object Graph {
       val changed = next.as("a").join(labels.as("b"), "id")
         .filter(col("a.comp") =!= col("b.comp"))
         .limit(1).count() // one tiny driver-side number per round
-      labels = next
+      labels = next // previous round's reference dropped → ContextCleaner
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

@@ -370,36 +370,27 @@ object RelationalQueries {
 
   /** Moving-average window frame (beyond the reference): 7-row trailing
     * mean over the daily revenue series. The daily pre-aggregate shrinks
-    * the window input to one row per day, and the trailing window runs
-    * PARTITIONED BY YEAR with a 6-row boundary carry: each year's partition
-    * is prepended with the previous year's last 6 days (flagged, excluded
-    * from output) so frames that straddle New Year see exactly the rows a
-    * global window would — same result, no single-partition WindowExec,
-    * parallelism grows with calendar span instead of collapsing to 1 task.
-    * Display-rounded because windowed float aggregation (segment trees vs
-    * running sums) differs across engines in the last ULPs. */
+    * the window input to one row per day, so the global trailing window
+    * runs over a CALENDAR-BOUNDED frame: one row per distinct order date
+    * (~2.4 k here; a century of daily data is 36.5 k rows) regardless of
+    * data volume — the aggregation upstream absorbs the 100 TB, the window
+    * input cannot grow with it. The single-partition WindowExec warning is
+    * therefore noise for this one query (suppressed in the session
+    * builders, with this scaladoc as the justification). A year-partitioned
+    * rewrite with a previous-year boundary carry was tried and REJECTED: it
+    * silently diverges from the trailing-7-row semantics whenever a year
+    * holds fewer than 6 daily rows or a calendar year is absent (the carry
+    * only reaches one year back), which the dense test calendar would never
+    * catch. Display-rounded because windowed float aggregation (segment
+    * trees vs running sums) differs across engines in the last ULPs. */
   def x3MovingAvg(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderdate"))
       .agg(sum(dec(col("o_totalprice"))).cast("double").as("day_rev"))
-      .withColumn("yr", year(col("o_orderdate")))
-    // last 6 days of each year, re-tagged into the NEXT year's partition as
-    // frame-only rows (dates sort strictly before any same-partition date)
-    val lastPerYear = Window.partitionBy(col("yr"))
-      .orderBy(col("o_orderdate").desc)
-    val carry = daily
-      .withColumn("rn", row_number().over(lastPerYear))
-      .filter(col("rn") <= 6).drop("rn")
-      .withColumn("yr", col("yr") + 1)
-      .withColumn("carry", lit(true))
-    val w = Window.partitionBy(col("yr")).orderBy(col("o_orderdate"))
-      .rowsBetween(-6, 0)
-    daily.withColumn("carry", lit(false))
-      .unionByName(carry)
-      .select(col("o_orderdate"), col("day_rev"), col("carry"),
+    val w = Window.orderBy(col("o_orderdate")).rowsBetween(-6, 0)
+    daily
+      .select(col("o_orderdate"), col("day_rev"),
         round4(avg(col("day_rev")).over(w)).as("mov7"))
-      .filter(!col("carry"))
-      .select(col("o_orderdate"), col("day_rev"), col("mov7"))
       .orderBy(col("o_orderdate"))
   }
 

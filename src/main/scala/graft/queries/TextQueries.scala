@@ -27,7 +27,16 @@ object TextQueries {
   /** Near-duplicate pairs: LSH candidates verified with exact shingle
     * Jaccard ≥ 0.8. The LSH prefilter is what keeps this sub-quadratic at
     * scale — the exact check only runs on the candidate set. */
-  def d3JaccardDupes(s: SparkSession, d: String): DataFrame = {
+  def d3JaccardDupes(s: SparkSession, d: String): DataFrame =
+    verifiedDupPairs(s, d)
+      .select(col("id1"), col("id2"), graft.operators.Relational.round4(col("j")).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+
+  /** The UNSORTED verified-pair pipeline behind d3 — also the edge list for
+    * d6/c1's cluster collapse, which would otherwise pay d3's global
+    * presentation sort only to destroy the order in the component
+    * iteration. */
+  def verifiedDupPairs(s: SparkSession, d: String): DataFrame = {
     // identical docs collapse to one representative BEFORE banding —
     // otherwise an N-doc exact-dup cluster shares every band key and lands
     // N²/2 pairs in one LSH bucket (see TextOps.canonicalDocs)
@@ -48,8 +57,6 @@ object TextQueries {
       .join(sh.as("sb"), col("id2") === col("sb.doc_id"))
       .withColumn("j", jaccard(col("sa.sh"), col("sb.sh")))
       .filter(col("j") >= 0.8)
-      .select(col("id1"), col("id2"), graft.operators.Relational.round4(col("j")).as("jaccard"))
-      .orderBy(col("id1"), col("id2"))
   }
 
   /** The whole corpus-cleaning pipeline composed end-to-end — what a user
@@ -73,7 +80,7 @@ object TextQueries {
     val canon = canonicalDocs(docs, "doc_id", "text")
       .select(col("doc_id"), col("lang"), col("source"))
     val clusters = graft.operators.Graph.connectedComponents(
-      d3JaccardDupes(s, d).select(col("id1"), col("id2")))
+      verifiedDupPairs(s, d).select(col("id1"), col("id2")))
     val dropIds = clusters.filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     val keptStats = canon
@@ -96,7 +103,7 @@ object TextQueries {
     * actually drops (keep one representative per cluster). The d3 pipeline
     * materializes once into the component iteration's persisted edge list. */
   def d6DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = d3JaccardDupes(s, d).select(col("id1"), col("id2"))
+    val pairs = verifiedDupPairs(s, d).select(col("id1"), col("id2"))
     val labels = graft.operators.Graph.connectedComponents(pairs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
     labels

@@ -126,7 +126,7 @@ class TextOpsPropertySpec extends SparkSpec {
     spark.sessionState.functionRegistry.registerFunction(
       graft.GraftExtensions.simhashSig._1,
       graft.GraftExtensions.simhashSig._2, graft.GraftExtensions.simhashSig._3)
-    val viaSql = sh.createOrReplaceTempView("simhash_sig_in")
+    sh.createOrReplaceTempView("simhash_sig_in")
     val sqlRes = spark.sql(
       "SELECT doc_id, simhash_sig(sh, 32) AS sig FROM simhash_sig_in")
       .collect().map(r => r.getLong(0) ->

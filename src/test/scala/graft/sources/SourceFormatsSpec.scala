@@ -40,12 +40,18 @@ class SourceFormatsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_csv").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // documents text is free-form: quoting/escaping is the failure mode
-    // this round-trip exercises
+    // this round-trip exercises. nullValue gets an explicit sentinel so an
+    // empty string survives the trip (the default reads "" back as NULL),
+    // and multiLine covers embedded newlines inside quoted fields — both
+    // silent data-corruption modes of a naive CSV landing.
     docs.write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
+      .option("nullValue", "\\N")
       .csv(dir)
     val back = spark.read.schema(docSchema)
       .option("header", "true").option("escape", "\"")
+      .option("nullValue", "\\N").option("emptyValue", "")
+      .option("multiLine", "true")
       .csv(dir)
     assert(back.count() == docs.count())
     val a = docs.select(sum($"n_chars"), md5(concat_ws("|",
