@@ -25,6 +25,35 @@ object Sinks {
   def writeRoutedBatch(df: DataFrame, routeCol: String, baseDir: String): Unit =
     df.write.mode("overwrite").partitionBy(routeCol).parquet(baseDir)
 
+  /** Idempotent micro-batch parquet sink — exactly-once FILE output on top
+    * of foreachBatch's at-least-once delivery: Structured Streaming retries
+    * a failed batch with the SAME batchId, so making the write a
+    * skip-if-committed upsert keyed on batchId closes the gap.
+    *
+    * Write protocol (the part naive `if (!exists) write` gets wrong: a
+    * crash mid-write leaves a partial directory that the retry would then
+    * skip — silent data loss):
+    *   1. if the FINAL dir `batch_id=<id>` exists → committed earlier, skip;
+    *   2. write to a `.tmp-<id>` staging dir (clobbering any partial
+    *      staging left by a crashed attempt);
+    *   3. rename staging → final. The rename is the commit point (atomic
+    *      on HDFS and posix filesystems; on object stores swap in a
+    *      manifest-commit, same protocol shape).
+    * Readers see only committed per-batch directories (compact
+    * periodically downstream). */
+  def idempotentParquetSink(baseDir: String)(batch: Dataset[Row], batchId: Long): Unit = {
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val fin = new org.apache.hadoop.fs.Path(s"$baseDir/batch_id=$batchId")
+    val fs = fin.getFileSystem(conf)
+    if (!fs.exists(fin)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$baseDir/.tmp-$batchId")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      batch.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"commit rename failed for batch $batchId")
+    }
+  }
+
   /** Streaming fan-out with per-batch atomicity: every route is written
     * from one cached micro-batch snapshot. */
   def routedForeachBatch(
