@@ -307,6 +307,17 @@ object Catalog {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000 AS mov7
         |FROM daily ORDER BY o_orderdate""".stripMargin)),
 
+    // the oracle is the natural CORRELATED subquery; the Spark side is the
+    // decorrelated join plan — the pair proves the rewrite is semantics-
+    // preserving (thresholds via exact decimal sums, so identical rows pass)
+    QuerySpec("x4_small_qty_revenue", RelationalQueries.x4SmallQtyRevenue,
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
     // ------------------------------------------------- documents pipeline
 
     QuerySpec("d1_exact_dedup", TextQueries.d1ExactDedup,

@@ -368,6 +368,29 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Correlated scalar subquery (the TPC-H Q17 shape, beyond the
+    * reference): revenue from small-quantity orders of one brand's parts,
+    * where "small" is relative to EACH part's own average quantity. The
+    * oracle states it in the natural CORRELATED form; this side is the
+    * decorrelated plan Catalyst would rewrite it to — per-part averages as
+    * an ordinary aggregate joined back on the correlation key — proving
+    * the rewrite preserves semantics. The brand filter broadcasts; the
+    * per-part aggregate shuffles on the correlation key, exactly once.
+    * avg = exact decimal sum / count so shuffle order cannot perturb the
+    * threshold. */
+  def x4SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val brandParts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(perPart, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
   /** Moving-average window frame (beyond the reference): 7-row trailing
     * mean over the daily revenue series. The daily pre-aggregate shrinks
     * the window input to one row per day, so the global trailing window
