@@ -16,10 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     dimension side is known-small by construction.
   */
 object Engine {
-  /** Silence WindowExec's "No Partition Defined" warning. The engine has
-    * exactly one deliberately-global window (`x3_moving_avg`, whose input
-    * is calendar-bounded — see its scaladoc); the per-execution warning is
-    * noise there and would train readers to ignore it where it matters. */
+  /** Silence WindowExec's "No Partition Defined" warning — called ONLY by
+    * the Bench/Verify mains, where the engine's one deliberately-global
+    * window (`x3_moving_avg`, calendar-bounded input — see its scaladoc)
+    * fires it as pure noise on every measured run. Interactive sessions
+    * (this factory) deliberately KEEP the warning: for any future
+    * accidentally-unpartitioned window it is exactly the signal that
+    * matters, and a level-based suppression here would hide it JVM-wide. */
   def tuneLogging(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
@@ -54,7 +57,6 @@ object Engine {
       else b.master(s"local[$cores]")
     val spark = withMaster.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    tuneLogging()
     spark
   }
 }

@@ -57,26 +57,27 @@ object Graph {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // min label among each node's neighbors...
-      val neighborMin = sym
-        .join(labels, sym("id1") === labels("id"))
-        .groupBy(sym("id2").as("id"))
-        .agg(min(col("comp")).as("nmin"))
-      // ...folded with the node's own label
-      val next = labels.as("l")
-        .join(neighborMin.as("n"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("l.comp"), coalesce(col("n.nmin"), col("l.comp"))).as("comp"))
-        .localCheckpoint(true)
-      val changed = next.as("a").join(labels.as("b"), "id")
-        .filter(col("a.comp") =!= col("b.comp"))
-        .limit(1).count() // one tiny driver-side number per round
-      labels = next // previous round's reference dropped → ContextCleaner
-      converged = changed == 0
-      iter += 1
-    }
-    sym.unpersist()
+    try {
+      while (!converged && iter < maxIter) {
+        // min label among each node's neighbors...
+        val neighborMin = sym
+          .join(labels, sym("id1") === labels("id"))
+          .groupBy(sym("id2").as("id"))
+          .agg(min(col("comp")).as("nmin"))
+        // ...folded with the node's own label
+        val next = labels.as("l")
+          .join(neighborMin.as("n"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("l.comp"), coalesce(col("n.nmin"), col("l.comp"))).as("comp"))
+          .localCheckpoint(true)
+        val changed = next.as("a").join(labels.as("b"), "id")
+          .filter(col("a.comp") =!= col("b.comp"))
+          .limit(1).count() // one tiny driver-side number per round
+        labels = next // previous round's reference dropped → ContextCleaner
+        converged = changed == 0
+        iter += 1
+      }
+    } finally sym.unpersist() // incl. mid-round failures: don't pin 2|E| rows
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

@@ -379,14 +379,20 @@ object RelationalQueries {
     * avg = exact decimal sum / count so shuffle order cannot perturb the
     * threshold. */
   def x4SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
     val brandParts = Tables.part(s, d)
       .filter(col("p_brand") === "Brand#1")
       .select(col("p_partkey"))
+    // semi-join pre-filter BEFORE the per-part aggregate: the correlation
+    // is keyed on the part, so dropping other brands' rows first preserves
+    // each surviving part's average exactly while cutting the aggregate
+    // shuffle to the brand's share of lineitem (~1/25 of the table).
+    // Persisted because it feeds both the aggregate and the final join.
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .persist()
     val perPart = li.groupBy(col("l_partkey"))
       .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
-    li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
-      .join(perPart, "l_partkey")
+    li.join(perPart, "l_partkey")
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
   }
@@ -398,8 +404,9 @@ object RelationalQueries {
     * (~2.4 k here; a century of daily data is 36.5 k rows) regardless of
     * data volume — the aggregation upstream absorbs the 100 TB, the window
     * input cannot grow with it. The single-partition WindowExec warning is
-    * therefore noise for this one query (suppressed in the session
-    * builders, with this scaladoc as the justification). A year-partitioned
+    * therefore noise for this one query (suppressed in the Bench/Verify
+    * mains only — interactive sessions keep the warning as the safety net
+    * it is for any ACCIDENTALLY-global window). A year-partitioned
     * rewrite with a previous-year boundary carry was tried and REJECTED: it
     * silently diverges from the trailing-7-row semantics whenever a year
     * holds fewer than 6 daily rows or a calendar year is absent (the carry

@@ -34,11 +34,16 @@ object Sinks {
     * crash mid-write leaves a partial directory that the retry would then
     * skip — silent data loss):
     *   1. if the FINAL dir `batch_id=<id>` exists → committed earlier, skip;
-    *   2. write to a `.tmp-<id>` staging dir (clobbering any partial
-    *      staging left by a crashed attempt);
-    *   3. rename staging → final. The rename is the commit point (atomic
-    *      on HDFS and posix filesystems; on object stores swap in a
-    *      manifest-commit, same protocol shape).
+    *   2. write to an ATTEMPT-UNIQUE `.tmp-<id>-<uuid>` staging dir —
+    *      unique per attempt so a zombie driver racing a failover driver
+    *      can never interleave part files into one staging dir;
+    *   3. rename staging → final; the first rename is the commit point.
+    *      A losing attempt either fails the rename (posix: dest exists) or
+    *      lands its staging dir NESTED inside the committed dir (Hadoop
+    *      rename-into-directory semantics) — invisible to readers either
+    *      way, because dot-prefixed paths are excluded from scans — and is
+    *      cleaned up below. On object stores without atomic rename, swap
+    *      the rename for a manifest commit; same protocol shape.
     * Readers see only committed per-batch directories (compact
     * periodically downstream). */
   def idempotentParquetSink(baseDir: String)(batch: Dataset[Row], batchId: Long): Unit = {
@@ -46,12 +51,23 @@ object Sinks {
     val fin = new org.apache.hadoop.fs.Path(s"$baseDir/batch_id=$batchId")
     val fs = fin.getFileSystem(conf)
     if (!fs.exists(fin)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$baseDir/.tmp-$batchId")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$baseDir/.tmp-$batchId-${java.util.UUID.randomUUID()}")
       batch.write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, fin))
-        throw new java.io.IOException(s"commit rename failed for batch $batchId")
+      val won = fs.rename(tmp, fin) && !fs.exists(new org.apache.hadoop.fs.Path(fin, tmp.getName))
+      if (!won) {
+        // lost the commit race (or rename nested us inside the winner's
+        // dir): delete our attempt; the batch IS committed — by the winner
+        fs.delete(new org.apache.hadoop.fs.Path(fin, tmp.getName), true)
+        fs.delete(tmp, true)
+        if (!fs.exists(fin))
+          throw new java.io.IOException(s"commit rename failed for batch $batchId")
+      }
     }
+    // hygiene: sweep any orphaned staging dirs of this batch (crashed
+    // attempts have unique names nobody else will reuse or clean)
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$baseDir/.tmp-$batchId-*"))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Streaming fan-out with per-batch atomicity: every route is written

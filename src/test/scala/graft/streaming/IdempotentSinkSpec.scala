@@ -33,14 +33,14 @@ class IdempotentSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("a crashed partial write is clobbered by the retry, not skipped") {
+  test("a crashed attempt's orphaned staging dir is swept, not mistaken for a commit") {
     val dir = Files.createTempDirectory("graft_eo_crash").toString
-    // fake a crash: staging dir exists with garbage, final dir absent
-    val staging = new java.io.File(s"$dir/.tmp-7"); staging.mkdirs()
+    // fake a crash: an attempt-unique staging dir with garbage, final absent
+    val staging = new java.io.File(s"$dir/.tmp-7-dead-attempt"); staging.mkdirs()
     Files.write(staging.toPath.resolve("partial.parquet"), Array[Byte](1, 2, 3))
     Sinks.idempotentParquetSink(dir)(Seq((42L, "x")).toDF("id", "v"), 7L)
     val out = spark.read.parquet(s"$dir/batch_id=7").as[(Long, String)].collect()
     assert(out.toSeq == Seq((42L, "x")))
-    assert(!staging.exists(), "staging dir must be gone after commit")
+    assert(!staging.exists(), "orphaned staging dir must be swept after commit")
   }
 }
