@@ -307,6 +307,27 @@ object Catalog {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000 AS mov7
         |FROM daily ORDER BY o_orderdate""".stripMargin)),
 
+    // ordered listagg: the explicit sort inside the aggregate is what makes
+    // distributed string aggregation deterministic
+    QuerySpec("x6_listagg", RelationalQueries.x6Listagg,
+      Some("""SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // quantization fidelity: per-vector max reconstruction error relative
+    // to the step is <= 0.5 by round-to-nearest — the invariant that makes
+    // e7's int8 output fit for ANN
+    QuerySpec("e8_dequant_error", SimilarityQueries.e8DequantError,
+      Some("""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, scale,
+        |    abs(e[i] - floor(e[i] / scale + 0.5) * scale) AS err
+        |  FROM s, generate_series(1, 64) AS t(i) WHERE scale > 0)
+        |SELECT vec_id, floor(max(err) / scale * 10000 + 0.5) / 10000 AS rel_err
+        |FROM u GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin)),
+
     // the oracle is the natural CORRELATED subquery; the Spark side is the
     // decorrelated join plan — the pair proves the rewrite is semantics-
     // preserving (thresholds via exact decimal sums, so identical rows pass)

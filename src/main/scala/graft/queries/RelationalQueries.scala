@@ -368,6 +368,18 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Ordered string aggregation (listagg) — per region, the sorted
+    * ','-joined nation list. collect_list is order-nondeterministic under
+    * shuffles, so the explicit array_sort is what makes the output (and
+    * the oracle hash) stable at ANY partitioning — the only safe way to
+    * use string aggregation in a distributed plan. */
+  def x6Listagg(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
   /** Correlated scalar subquery (the TPC-H Q17 shape, beyond the
     * reference): revenue from small-quantity orders of one brand's parts,
     * where "small" is relative to EACH part's own average quantity. The

@@ -70,6 +70,26 @@ object SimilarityQueries {
         col("scale"))
       .orderBy(col("vec_id"), col("dim"))
 
+  /** Quantization round-trip fidelity: per-vector max reconstruction error
+    * relative to the quantization step — mathematically ≤ 0.5 for
+    * round-to-nearest, so this is the invariant that makes e7's output fit
+    * for ANN. Same correctly-rounded IEEE ops on both engines; only the
+    * final ratio is display-rounded. */
+  def e8DequantError(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale",
+        array_max(transform(col("e"), x => abs(x))) / lit(127.0))
+      .filter(col("scale") > 0.0)
+      .select(col("vec_id"), col("scale"), posexplode(col("e")))
+      .select(col("vec_id"), col("scale"),
+        abs(col("col") - floor(col("col") / col("scale") + lit(0.5)) * col("scale")).as("err"))
+      .groupBy(col("vec_id"), col("scale"))
+      .agg(max(col("err")).as("max_err"))
+      .select(col("vec_id"),
+        graft.operators.Relational.round4(col("max_err") / col("scale")).as("rel_err"))
+      .orderBy(col("vec_id"))
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles
