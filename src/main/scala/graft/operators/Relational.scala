@@ -75,16 +75,21 @@ object Relational {
 
   /** As-of join (beyond the reference; the temporal-join generalization of
     * its stream⋈table joins, SURVEY §2.4 note): attach to each left row the
-    * latest right row with `rightTime <= leftTime` for the same keys —
-    * left-outer, so left rows with no prior right row keep nulls.
+    * latest right row with `rightTime <= leftTime` (`direction =
+    * "backward"`, the default) — or the EARLIEST right row with
+    * `rightTime >= leftTime` (`direction = "forward"`: "what happened
+    * next", e.g. click → next view) — for the same keys. Left-outer, so
+    * left rows with no match keep nulls.
     *
-    * Implementation is the union-tag-window form: tag both inputs, sort each
-    * key group once by (time, tag) with right rows ordered before left rows
-    * at equal timestamps (inclusive as-of), and carry the right payload
-    * forward with `last(ignoreNulls)`. ONE shuffle + ONE sort, independent
-    * of how far back matches reach — the distributed as-of plan that range
-    * joins can't match (a banded range join explodes when the match can be
-    * arbitrarily old; a plain inequality join is quadratic per key).
+    * Implementation is the union-tag-window form: tag both inputs, sort
+    * each key group once by (time, tag) with right rows ordered before left
+    * rows at equal timestamps (inclusive as-of in both directions), and
+    * carry the right payload with `last(ignoreNulls)`. Forward is the exact
+    * mirror: time sorts descending, so "carry forward" walks backward in
+    * event time. ONE shuffle + ONE sort either way, independent of how far
+    * the match reaches — the distributed as-of plan that range joins can't
+    * match (a banded range join explodes when the match can be arbitrarily
+    * old; a plain inequality join is quadratic per key).
     *
     * `right` must be unique per (keys, rightTime) — pre-aggregate ties away
     * (the result would otherwise be nondeterministic in any engine).
@@ -94,7 +99,10 @@ object Relational {
     */
   def asofJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
       .withColumn("__r", lit(null).cast(
@@ -107,8 +115,9 @@ object Relational {
     val unioned = l.select((keys ++ Seq("__t", "__tag", "__r")).map(col) ++
       leftCols.filterNot(keys.contains).map(col): _*)
       .unionByName(r, allowMissingColumns = true)
+    val timeOrd = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__tag").asc)
+      .orderBy(timeOrd, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

@@ -214,6 +214,16 @@ object Catalog {
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_us >= v.t
         |ORDER BY c.user_id, c.event_id""".stripMargin)),
 
+    QuerySpec("s5_asof_forward", RelationalQueries.s5AsofForward,
+      Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS t, max(event_id) AS view_event_id
+        |        FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)),
+        |c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id, c.ts_us,
+        |  v.view_event_id, v.t AS view_ts_us, v.t - c.ts_us AS lead_us
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_us <= v.t
+        |ORDER BY c.user_id, c.event_id""".stripMargin)),
+
     QuerySpec("s4_range_pairs", RelationalQueries.s4RangePairs,
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events)
         |SELECT a.user_id, count(*) AS n_pairs

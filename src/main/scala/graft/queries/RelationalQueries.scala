@@ -231,6 +231,24 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Forward as-of: each click enriched with the NEXT view at-or-after it
+    * ("what did this click lead to") — the mirror direction of s3, same
+    * union-tag-window plan with time descending. */
+  def s5AsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("view_event_id"))
+      .select(col("user_id"), col("ts_us"), col("view_event_id"),
+        col("ts_us").as("view_ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    asofJoin(clicks, views, Seq("user_id"), "ts_us", "ts_us",
+      Seq("view_event_id", "view_ts_us"), direction = "forward")
+      .withColumn("lead_us", col("view_ts_us") - col("ts_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Bounded range join (beyond the reference): same-user event pairs within
     * one hour, counted per user. The banded-bucket equi-join plan of
     * [[Relational.intervalSelfJoin]] — never a per-key cross product. */

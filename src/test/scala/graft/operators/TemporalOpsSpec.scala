@@ -37,6 +37,32 @@ class TemporalOpsSpec extends SparkSpec {
       ("t-no-quotes", None)))
   }
 
+  test("asofJoin forward attaches earliest at-or-after right row; mirror semantics") {
+    val quotes = Seq((1L, 10L, "q10"), (1L, 20L, "q20"), (1L, 30L, "q30"))
+      .toDF("uid", "qt", "qval")
+      .select(col("uid"), col("qt"), col("qval"), col("qt").as("quote_ts"))
+    val trades = Seq(
+      (1L, 5L, "t-before-any"), // before every quote -> q10 (next)
+      (1L, 20L, "t-tie"),       // exactly at a quote -> inclusive match q20
+      (1L, 25L, "t-mid"),       // between 20 and 30 -> q30 (next)
+      (1L, 99L, "t-late"),      // after all -> nulls
+      (2L, 50L, "t-no-quotes")  // key with no right rows -> nulls
+    ).toDF("uid", "tt", "tval")
+
+    val out = Relational.asofJoin(trades, quotes, Seq("uid"), "tt", "qt",
+      Seq("qval", "quote_ts"), direction = "forward")
+      .orderBy("uid", "tt")
+      .collect()
+      .map(r => (r.getAs[String]("tval"), Option(r.getAs[String]("qval"))))
+
+    assert(out.toSeq == Seq(
+      ("t-before-any", Some("q10")),
+      ("t-tie", Some("q20")),
+      ("t-mid", Some("q30")),
+      ("t-late", None),
+      ("t-no-quotes", None)))
+  }
+
   test("asofJoin matches a per-key sort-based oracle on random data") {
     val rnd = new scala.util.Random(7)
     val right = (0 until 200).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
