@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the cluster-collapse
@@ -13,23 +13,26 @@ import org.apache.spark.sql.functions._
   * each round, every node takes the minimum label among itself and its
   * neighbors; fixpoint when no label changes. Rounds = graph diameter —
   * near-dup graphs are unions of near-cliques (diameter 2-3), so this
-  * converges in a handful of rounds. Each round is one join + one aggregate
-  * on the (symmetrized, persisted) edge list: fully distributed, nothing
-  * driver-side except the one-row convergence count — the Pregel iteration
-  * pattern expressed relationally.
+  * converges in a handful of rounds. Each round is ONE job: the label
+  * projection carries a `chg` flag whose sum is read through `observe()`
+  * (a CollectMetrics node evaluated as a side effect of the round's
+  * materializing localCheckpoint — no separate convergence-count job).
+  * Fully distributed; nothing driver-side except the observed metric.
   *
-  * Scale notes: per-round cost is O(|E|) shuffle on node id. For graphs
-  * with large diameter (chains — not the dedup shape) the
-  * large-star/small-star contraction (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond") reaches O(log n) rounds with the
-  * same per-round join shape — that is the swap-in at adversarial
-  * diameters. Growing LINEAGE is the other iteration hazard — and persist
-  * alone does NOT fix it: caching stores the physical data, but each
-  * round's logical plan still nests every previous round's, so Catalyst
-  * analysis cost compounds until planning dwarfs execution. Each round's
-  * labels are therefore eagerly `localCheckpoint`ed — a fresh leaf plan
-  * per round, O(1) planning forever (production with fault-tolerance
-  * needs: reliable `checkpoint` to durable storage instead).
+  * If `maxIter` rounds don't converge (diameter exceeds the bound — chains,
+  * not the dedup shape), the operator AUTO-SWITCHES to
+  * [[starContractComponents]], the O(log² n)-round alternating
+  * large-star/small-star contraction of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" (SOCC '14) — same output contract,
+  * diameter-independent round count.
+  *
+  * Growing LINEAGE is the iteration hazard — and persist alone does NOT fix
+  * it: caching stores the physical data, but each round's logical plan
+  * still nests every previous round's, so Catalyst analysis cost compounds
+  * until planning dwarfs execution. Each round's labels are therefore
+  * eagerly `localCheckpoint`ed — a fresh leaf plan per round, O(1) planning
+  * forever (production with fault-tolerance needs: reliable `checkpoint`
+  * to durable storage instead).
   *
   * Only nodes that appear in an edge are labeled (singletons are not dup
   * candidates and stay out of the output, exactly like a pair list).
@@ -38,8 +41,8 @@ object Graph {
 
   /** (id, comp) per node of the undirected edge list `edges` (columns
     * `id1`, `id2`); `comp` = min node id reachable. `maxIter` bounds the
-    * rounds; an IllegalStateException at the bound beats silently wrong
-    * clusters. */
+    * min-label rounds; past the bound the diameter-independent star
+    * contraction finishes the job instead. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     // persist (CacheManager-backed, so the explicit unpersist below works;
     // its lineage is one union deep — no truncation needed)
@@ -64,24 +67,90 @@ object Graph {
           .join(labels, sym("id1") === labels("id"))
           .groupBy(sym("id2").as("id"))
           .agg(min(col("comp")).as("nmin"))
-        // ...folded with the node's own label
+        // ...folded with the node's own label; the round's ONLY job is the
+        // eager localCheckpoint, and the CollectMetrics node it executes
+        // through carries the convergence signal out as an observed metric
+        val obs = Observation(s"cc_changed_$iter")
         val next = labels.as("l")
           .join(neighborMin.as("n"), Seq("id"), "left")
           .select(col("id"),
-            least(col("l.comp"), coalesce(col("n.nmin"), col("l.comp"))).as("comp"))
+            least(col("l.comp"), coalesce(col("n.nmin"), col("l.comp"))).as("comp"),
+            (coalesce(col("n.nmin"), col("l.comp")) < col("l.comp"))
+              .cast("long").as("chg"))
+          .observe(obs, sum(col("chg")).as("changed"))
+          .select(col("id"), col("comp"))
           .localCheckpoint(true)
-        val changed = next.as("a").join(labels.as("b"), "id")
-          .filter(col("a.comp") =!= col("b.comp"))
-          .limit(1).count() // one tiny driver-side number per round
         labels = next // previous round's reference dropped → ContextCleaner
-        converged = changed == 0
+        converged = obs.get("changed").asInstanceOf[Long] == 0L
         iter += 1
       }
     } finally sym.unpersist() // incl. mid-round failures: don't pin 2|E| rows
+    if (converged) labels
+    else starContractComponents(edges) // adversarial diameter: O(log²n) rounds
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., SOCC '14) — round count O(log² n) regardless of graph
+    * DIAMETER, vs min-label's O(diameter). The fallback for chain-shaped
+    * graphs; [[connectedComponents]] switches to it automatically.
+    *
+    * Each round rewrites the edge set toward a forest of stars:
+    *   - large-star: every node u links each STRICTLY-LARGER neighbor v to
+    *     m(u) = min(Γ(u) ∪ u) — long tails fold toward local minima;
+    *   - small-star: edges oriented (hi → lo); every hi links itself and
+    *     each smaller neighbor to m — stars flatten to depth 1.
+    * Both steps preserve connectivity (every rewritten edge stays within
+    * the component), and disjoint stars rooted at each component's minimum
+    * are the unique fixpoint, so at convergence labels read straight off
+    * the edges: (child → root) ∪ (root → root).
+    *
+    * Per round: two groupBy-min + join passes over the edge set, eagerly
+    * localCheckpointed (same lineage reasoning as min-label). Convergence =
+    * set equality with the previous round's canonical edge set — checked as
+    * count-equal + empty except, two cheap jobs over materialized blocks.
+    */
+  def starContractComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    def canonical(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    var e = canonical(
+      edges.select(col("id1").as("u"), col("id2").as("v"))).localCheckpoint(true)
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: m = min over each node's neighborhood incl. itself;
+      // every neighbor v > u re-links to m
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("nm"))
+        .select(col("u"), least(col("nm"), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val afterLarge = canonical(large).localCheckpoint(true)
+      // small-star: orient (hi = u > lo = v); m = min neighbor; hi and all
+      // its smaller neighbors link to m. afterLarge is canonical (u < v),
+      // so (hi, lo) = (v, u).
+      val hi = afterLarge.select(col("v").as("u"), col("u").as("v"))
+      val hiMin = hi.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = hi.join(hiMin, "u")
+        .select(col("v").as("u"), col("m").as("v")) // smaller neighbors → m
+        .union(hiMin.select(col("u"), col("m").as("v"))) // hi itself → m
+      val next = canonical(small).localCheckpoint(true)
+      // set equality on canonical distinct edge lists: |A| = |B| ∧ A∖B = ∅
+      converged = next.count() == e.count() &&
+        next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          "(graph diameter exceeds the bound — switch to star contractions)")
-    labels
+        s"starContractComponents did not converge in $maxIter rounds")
+    // fixpoint = disjoint min-rooted stars: every edge is (root u, child v)
+    e.select(col("v").as("id"), col("u").as("comp"))
+      .union(e.select(col("u").as("id"), col("u").as("comp")))
+      .distinct()
   }
 }

@@ -34,6 +34,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("starContractComponents equals union-find on random graphs") {
+    val rnd = new Random(13)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Graph.starContractComponents(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"trial $trial diverged")
+    }
+  }
+
+  test("maxIter hit auto-switches to star contraction (10k-node path)") {
+    // a 10 000-node path: diameter 9 999 ≫ any min-label bound. The old
+    // behavior threw; now the star-contraction fallback finishes in
+    // O(log² n) rounds with the same labels.
+    val n = 10000L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val got = Graph.connectedComponents(chain.toDF("id1", "id2"), maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
   test("chain graphs converge (diameter bound) and label by min id") {
     // a 20-node chain: worst diameter shape for label propagation
     val chain = (0L until 19L).map(i => (i, i + 1))
