@@ -107,11 +107,13 @@ object TextOps {
 
   /** Self-join of a band frame into candidate pairs (id1 < id2). */
   def candidatesFromBands(bandFrame: DataFrame): DataFrame = {
-    // persist: the band frame feeds BOTH sides of the self-join; without it
-    // Spark recomputes the whole signature pipeline twice. The persisted
-    // frame is numBands rows × ~40 B per doc — the standard LSH trade at
-    // any scale (disk-backed via MEMORY_AND_DISK if it outgrows memory).
-    val withBands = bandFrame.persist()
+    // eager localCheckpoint: the band frame feeds BOTH sides of the
+    // self-join; without materialization Spark recomputes the whole
+    // signature pipeline twice. The materialized frame is numBands rows ×
+    // ~40 B per doc — the standard LSH trade at any scale (blocks spill to
+    // executor disk if they outgrow memory, and are reclaimed when the
+    // frame's reference dies — nothing stays pinned in the CacheManager).
+    val withBands = bandFrame.localCheckpoint(true)
     val a = withBands.as("a")
     val b = withBands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -199,12 +201,13 @@ object TextOps {
       struct(lit(b).as("band"),
         shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bits"))
     }
-    // persist: the band frame feeds both sides of the self-join (as in
+    // eager localCheckpoint: the band frame feeds both sides of the
+    // self-join (same materialize-don't-pin reasoning as
     // candidatesFromBands); 4 rows × ~24 B per canonical doc
     val bands = sigs
       .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bits").as("bits"))
-      .persist()
+      .localCheckpoint(true)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.doc_id") < col("b.doc_id"))

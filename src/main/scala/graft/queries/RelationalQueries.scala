@@ -405,24 +405,26 @@ object RelationalQueries {
     * decorrelated plan Catalyst would rewrite it to — per-part averages as
     * an ordinary aggregate joined back on the correlation key — proving
     * the rewrite preserves semantics. The brand filter broadcasts; the
-    * per-part aggregate shuffles on the correlation key, exactly once.
-    * avg = exact decimal sum / count so shuffle order cannot perturb the
+    * correlated average is an UNBOUNDED WINDOW over the correlation key —
+    * one shuffle on l_partkey serves both the average and the comparison
+    * row-by-row, with no self-join and no cached intermediate (the earlier
+    * persist+join formulation scanned the semi-filtered frame twice and
+    * left it pinned in the cache until an external clearCache). avg =
+    * exact decimal sum / count so shuffle order cannot perturb the
     * threshold. */
   def x4SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
     val brandParts = Tables.part(s, d)
       .filter(col("p_brand") === "Brand#1")
       .select(col("p_partkey"))
-    // semi-join pre-filter BEFORE the per-part aggregate: the correlation
-    // is keyed on the part, so dropping other brands' rows first preserves
-    // each surviving part's average exactly while cutting the aggregate
+    // semi-join pre-filter BEFORE the per-part window: the correlation is
+    // keyed on the part, so dropping other brands' rows first preserves
+    // each surviving part's average exactly while cutting the window
     // shuffle to the brand's share of lineitem (~1/25 of the table).
-    // Persisted because it feeds both the aggregate and the final join.
-    val li = Tables.lineitem(s, d)
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, d)
       .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
-      .persist()
-    val perPart = li.groupBy(col("l_partkey"))
-      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
-    li.join(perPart, "l_partkey")
+      .withColumn("avg_qty",
+        sum(dec(col("l_quantity"))).over(w).cast("double") / count(lit(1)).over(w))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
   }

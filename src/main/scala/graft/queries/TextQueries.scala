@@ -36,14 +36,23 @@ object TextQueries {
     * d6/c1's cluster collapse, which would otherwise pay d3's global
     * presentation sort only to destroy the order in the component
     * iteration. */
-  def verifiedDupPairs(s: SparkSession, d: String): DataFrame = {
+  def verifiedDupPairs(s: SparkSession, d: String): DataFrame =
     // identical docs collapse to one representative BEFORE banding —
     // otherwise an N-doc exact-dup cluster shares every band key and lands
     // N²/2 pairs in one LSH bucket (see TextOps.canonicalDocs)
-    val docs = canonicalDocs(Tables.documents(s, d), "doc_id", "text")
+    verifiedDupPairsFrom(canonicalDocs(Tables.documents(s, d), "doc_id", "text"))
+
+  /** As [[verifiedDupPairs]] but over an ALREADY-canonicalized doc frame
+    * (`doc_id`, `text`, ...) — the composition hook that lets c1 run ONE
+    * canonical-docs pass for both its stats branch and this pipeline. */
+  def verifiedDupPairsFrom(canonDocs: DataFrame): DataFrame = {
     // ONE shingle pass feeds both the LSH banding and the exact-Jaccard
-    // verification join (the tokenize→shingle pass dominates corpus CPU)
-    val sh = shingleFrame(docs, "doc_id", "text").persist()
+    // verification join (the tokenize→shingle pass dominates corpus CPU).
+    // Eager localCheckpoint, not persist: consumers read the materialized
+    // blocks, nothing stays pinned in the CacheManager after the query —
+    // blocks are reclaimed by ContextCleaner once the frame's reference
+    // dies, instead of waiting for an external clearCache().
+    val sh = shingleFrame(canonDocs, "doc_id", "text").localCheckpoint(true)
     // LSH prefilter keeps the candidate set tiny relative to the corpus —
     // broadcast it so the FIRST verification join is map-side against the
     // cached shingle frame. The hint is consumed by that join; its result
@@ -77,10 +86,14 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens"),
         graft.operators.Relational.round4(
           col("top_tf").cast("double") / col("n_tokens")).as("ratio"))
-    val canon = canonicalDocs(docs, "doc_id", "text")
-      .select(col("doc_id"), col("lang"), col("source"))
+    // ONE canonical-docs pass (eagerly materialized, lineage cut) feeds
+    // BOTH the kept-stats branch and the near-dup pair pipeline — the
+    // plan-level sharing a lazy shared subtree would NOT give (Spark
+    // recomputes common subplans per consumer unless they're materialized)
+    val canonDocs = canonicalDocs(docs, "doc_id", "text").localCheckpoint(true)
+    val canon = canonDocs.select(col("doc_id"), col("lang"), col("source"))
     val clusters = graft.operators.Graph.connectedComponents(
-      verifiedDupPairs(s, d).select(col("id1"), col("id2")))
+      verifiedDupPairsFrom(canonDocs).select(col("id1"), col("id2")))
     val dropIds = clusters.filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     val keptStats = canon
@@ -218,25 +231,24 @@ object TextQueries {
       .limit(20)
 
   /** Per-document top-5 terms by TF-IDF. Plan shape at scale: ONE explode
-    * feeds everything — the (doc, term) tf aggregate is persisted and df is
-    * derived FROM it (its rows are distinct (doc, term) pairs by
-    * construction, so df = a second aggregation of the aggregate — no
-    * second explode, no distinct pass); df joins back on term (a
-    * term-cardinality shuffle, ≪ token instances); the corpus size is a
-    * 1-row broadcast. Ranking uses the display-ROUNDED score (then term
-    * asc): libm `ln` is not guaranteed correctly-rounded, so ranking raw
-    * doubles could diverge across engines in the last ulp — rounded scores
+    * feeds everything — df is an unbounded COUNT WINDOW over the (doc,
+    * term) tf aggregate (tf rows are distinct (doc, term) pairs by
+    * construction, so count(*) over the term partition IS the document
+    * frequency): no second explode, no distinct pass, no self-join, no
+    * cached intermediate — one term-cardinality exchange for the window,
+    * then the doc exchange for the rank. The corpus size is a 1-row
+    * broadcast. Ranking uses the display-ROUNDED score (then term asc):
+    * libm `ln` is not guaranteed correctly-rounded, so ranking raw doubles
+    * could diverge across engines in the last ulp — rounded scores
     * cannot. */
   def t9Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    // persisted: feeds both the score join's left side and the df derivation
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist()
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(df, "term")
+      .withColumn("df", count(lit(1)).over(wd))
       .crossJoin(broadcast(n))
       .withColumn("score", graft.operators.Relational.round4(
         col("tf") * log((col("n_docs") + 1) / (col("df") + 1))))

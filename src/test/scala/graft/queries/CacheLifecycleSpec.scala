@@ -1,0 +1,30 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The catalog's session contract: a query may MATERIALIZE intermediates
+  * (eager localCheckpoint — blocks reclaimed by ContextCleaner when the
+  * frame's reference dies), but must never leave anything PINNED in the
+  * CacheManager, where only an explicit unpersist/clearCache would free it.
+  * A long-lived interactive session running catalog queries therefore
+  * cannot accumulate cached frames.
+  *
+  * The queries below are exactly those that materialize shared
+  * intermediates (LSH bands, shingle frames, the canonical-docs pass, the
+  * component iteration's edge list).
+  */
+class CacheLifecycleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("catalog queries leave no pinned cache entries") {
+    spark.catalog.clearCache()
+    val sharing = Seq("d2_minhash_pairs", "d3_jaccard_dupes", "d5_simhash_pairs",
+      "d6_dup_clusters", "c1_corpus_pipeline", "t9_tfidf", "x4_small_qty_revenue")
+    for (name <- sharing) {
+      Catalog.queries(name)(spark, dir).collect()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left entries pinned in the CacheManager")
+    }
+  }
+}
