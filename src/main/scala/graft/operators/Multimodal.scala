@@ -100,19 +100,26 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling stub for video payloads: every `stride`-th byte window
+  /** Frame sampling stub for video payloads: every `stride`-byte window
     * stands in for a frame grab; real impl seeks keyframes. Output stays
-    * (media_id, frame_no, frame_bytes) so downstream ops are shape-real. */
+    * (media_id, frame_no, frame_bytes) so downstream ops are shape-real.
+    *
+    * BYTE-TRUE slicing: frame offsets are computed with integer math and
+    * cut with `substring` ON THE BINARY column (Spark's substring over
+    * BinaryType slices bytes) — no string round-trip. A cast-to-string
+    * split would corrupt real media bytes, which are not valid UTF-8; this
+    * path reassembles any payload byte-exactly (spec'd with a non-UTF-8
+    * payload). The last frame is short when length % stride != 0, exactly
+    * like a real container's tail fragment. */
   def frameSampleStub(media: Dataset[MediaRecord], stride: Int = 64): DataFrame = {
     val m = media.toDF()
-    m.filter(col("kind") === "video")
-      .select(col("media_id"),
-        posexplode(split(col("payload").cast("string"), s"(?<=\\G.{$stride})")))
-      .withColumnRenamed("pos", "frame_no")
-      // split keeps a trailing empty slice when length % stride == 0 (the
-      // zero-width delimiter matches at end-of-input) — not a real frame
-      .filter(length(col("col")) > 0)
-      .select(col("media_id"), col("frame_no"), col("col").cast("binary").as("frame_bytes"))
+    m.filter(col("kind") === "video" && length(col("payload")) > 0)
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0),
+          expr(s"(length(payload) + ${stride - 1}) div $stride").cast("int") - 1))
+          .as("frame_no"))
+      .select(col("media_id"), col("frame_no"),
+        expr(s"substring(payload, frame_no * $stride + 1, $stride)").as("frame_bytes"))
   }
 
   /** Byte-level payload metadata: exact byte length, content digest, head

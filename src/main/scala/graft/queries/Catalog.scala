@@ -664,13 +664,14 @@ object Catalog {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // kind = ["image","audio","video"][doc_id % 3] (mediaFromDocuments);
-    // frames are 64-CHAR windows, so the count is over chars while byte
-    // totals are octet-based — the oracle mirrors both exactly
+    // frames are 64-BYTE windows cut on the binary payload (byte-true
+    // slicing — no string round-trip), so both the count and the totals
+    // are octet-based
     QuerySpec("m2_frame_explode", MultimodalQueries.m2FrameExplode,
       Some("""SELECT doc_id AS media_id,
-        |  (length(text) + 63) // 64 AS n_frames,
+        |  (octet_length(text::BLOB) + 63) // 64 AS n_frames,
         |  octet_length(text::BLOB) AS frame_bytes_total
-        |FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
+        |FROM documents WHERE doc_id % 3 = 2 AND octet_length(text::BLOB) > 0
         |ORDER BY media_id""".stripMargin)),
 
     // the decode stub seeds from the first 32 bits of md5(payload); all

@@ -20,12 +20,12 @@ object MultimodalQueries {
       .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"))
 
-  /** Frame-sampling fan-out per video payload: explode frames (64-char
-    * windows standing in for keyframe grabs), then re-aggregate counts and
-    * byte totals per asset — gating the explode path of the multimodal
-    * pipeline (one Generate, no shuffle before the re-aggregation). The
-    * oracle recomputes both in closed form (ceil-division frame count,
-    * total payload bytes). */
+  /** Frame-sampling fan-out per video payload: explode frames (64-BYTE
+    * windows cut on the binary payload, standing in for keyframe grabs),
+    * then re-aggregate counts and byte totals per asset — gating the
+    * explode path of the multimodal pipeline (one Generate, no shuffle
+    * before the re-aggregation). The oracle recomputes both in closed form
+    * (ceil-division frame count, total payload bytes). */
   def m2FrameExplode(s: SparkSession, d: String): DataFrame =
     Multimodal.frameSampleStub(Multimodal.mediaFromDocuments(s, d), stride = 64)
       .groupBy(col("media_id"))

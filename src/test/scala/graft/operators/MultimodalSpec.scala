@@ -46,6 +46,28 @@ class MultimodalSpec extends SparkSpec {
     assert(nn.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2, 3)))
   }
 
+  test("frameSampleStub round-trips non-UTF-8 payloads byte-exactly") {
+    // real media bytes are NOT valid UTF-8 — 0xFF/0x80/0x00 sequences would
+    // be mangled by any cast-to-string slicing. 150 bytes at stride 64 →
+    // frames of 64 + 64 + 22 bytes reassembling to the exact input.
+    val payload = Array.tabulate(150)(i => ((i * 37 + 255) % 256).toByte)
+    val media = Seq(MediaRecord(1L, "video", payload, "test", payload.length.toLong))
+      .toDS()
+    val frames = Multimodal.frameSampleStub(media, stride = 64)
+      .orderBy("frame_no")
+      .select("frame_no", "frame_bytes")
+      .as[(Int, Array[Byte])].collect()
+    assert(frames.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(frames.map(_._2.length).toSeq == Seq(64, 64, 22))
+    assert(frames.flatMap(_._2).toSeq == payload.toSeq)
+    // stride-aligned payload: no trailing empty frame
+    val aligned = Seq(MediaRecord(2L, "video", payload.take(128), "test", 128L)).toDS()
+    val af = Multimodal.frameSampleStub(aligned, stride = 64)
+      .select("frame_bytes").as[Array[Byte]].collect()
+    assert(af.map(_.length).toSeq == Seq(64, 64))
+    assert(af.flatten.toSeq == payload.take(128).toSeq)
+  }
+
   test("frameSampleStub emits per-frame rows for video only") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir)
     val frames = Multimodal.frameSampleStub(media, stride = 64)
