@@ -142,6 +142,103 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), Relational.round4(col("cos")).as("cos"))
   }
 
+  /** In-plan Lloyd k-means over an embedding corpus — the training step
+    * that turns "IVF-shaped" into IVF: the coarse cells [[knnIVF]] probes
+    * are LEARNED here instead of read from a precomputed `label` column.
+    *
+    * Returns (assignments, centroids): assignments = one row per vector
+    * (`vec_id`, `v` double-cast embedding, `dxx` its self-dot, `cluster`,
+    * `sq` squared Euclidean distance to its centroid); centroids = one row
+    * per surviving cluster (`cluster`, `c` double array).
+    *
+    * Every step is deterministic and oracle-reproducible:
+    *   - init = the first k vectors by id (fixed seed), display-rounded;
+    *   - assignment = argmin over ‖x‖² − 2·x·c + ‖c‖², each dot a strictly
+    *     left-to-right codegen'd fold ([[graft.functions.VecDot]]) over
+    *     identical inputs, ties broken by cluster id;
+    *   - update = per-(cluster, dim) mean via posexplode — the map-reduce
+    *     centroid plan of e4, never a collect — display-rounded (round4)
+    *     BEFORE the next round's distance math: float sums in shuffled
+    *     order are not bit-reproducible across engines, rounded means are.
+    *
+    * Each round's centroid table (k × dims doubles — tiny) is eagerly
+    * localCheckpointed: the next round's plan references a materialized
+    * leaf, so lineage stays O(1) in `rounds` and the final assignment plan
+    * contains exactly one corpus scan. Per-round cost at scale is one pass
+    * over the corpus (broadcast k·dims centroids, argmin in the scan
+    * stage) + one (cluster, dim)-keyed mean shuffle — the canonical
+    * distributed Lloyd round. A cluster that captures no vectors drops out
+    * (standard Lloyd degeneracy; both engines compute the same drop).
+    *
+    * A 100 TB deployment would train on a hash-sample (t6's deterministic
+    * sampling idiom) and run only the final assignment pass over the full
+    * corpus; the plan shapes are identical.
+    */
+  def kmeans(corpus: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val vecs = corpus
+      .repartition(par)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("dxx", dot(col("v"), col("v")))
+    def assign(cent: DataFrame): DataFrame = {
+      val withD = cent.withColumn("dcc", dot(col("c"), col("c")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sq").asc, col("cluster").asc)
+      vecs.crossJoin(broadcast(withD))
+        .withColumn("sq",
+          col("dxx") - lit(2.0) * dot(col("v"), col("c")) + col("dcc"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("dxx"), col("cluster"), col("sq"))
+    }
+    var centroids = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("v"), x => Relational.round4(x)).as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      centroids = assign(centroids)
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("cd"))
+        .select(col("cluster"), col("pos"), Relational.round4(col("cd")).as("cd"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cd")))),
+          e => e.getField("cd")).as("c"))
+        .localCheckpoint(true)
+    }
+    (assign(centroids), centroids)
+  }
+
+  /** Multi-probe IVF ANN over a LEARNED assignment: [[knnIVFMultiProbe]]'s
+    * exact probe/scan shape, but the corpus cells come from [[kmeans]]
+    * assignments and the probe ranking uses the trained centroids directly
+    * (no re-derivation from a label column). `assigned`/`centroids` are
+    * the pair [[kmeans]] returns. */
+  def knnIVFMultiProbeLearned(
+      assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cent = centroids.withColumn("cent_norm", norm(col("c")))
+    val q = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster").asc)
+    val probed = q
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("q_emb"), col("c")) / (col("q_norm") * col("cent_norm")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("cluster").as("q_cell"))
+    val c = assigned.select(col("vec_id").as("n_id"), col("v").as("n_emb"),
+      col("cluster").as("n_cell"), sqrt(col("dxx")).as("n_norm"))
+    val scored = c
+      .join(broadcast(probed), col("q_cell") === col("n_cell") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), Relational.round4(col("cos")).as("cos"))
+  }
+
   /** Exact embedding dedup at a cosine threshold over LSH-style cells: pairs
     * within the same coarse cell with cosine ≥ threshold. Near-dup detection
     * for embedding-indexed corpora; the cell join bounds the pair blowup.

@@ -73,6 +73,48 @@ object Catalog {
        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Unrolled Lloyd-iteration CTE chain mirroring
+    * [[graft.operators.Similarity.kmeans]]: c0 = round4'd first-k vectors;
+    * per round r, a_r = argmin assignment against c_(r-1) (the same
+    * ‖x‖² − 2·x·c + ‖c‖² expression with the same cluster-asc tie-break)
+    * and m_r/c_r = round4'd per-(cluster, dim) means; af = the final
+    * assignment carrying its squared distance. Centroids are rounded
+    * before any distance math on BOTH engines, so every ranking compares
+    * identical doubles. */
+  private def kmeansCtes(k: Int, rounds: Int, dims: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS dxx
+      |  FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cluster,
+      |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS c
+      |  FROM v WHERE vec_id < $k)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |a$r AS (SELECT vec_id, v, dxx, cluster FROM (
+        |    SELECT v.vec_id, v.v, v.dxx, c.cluster,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        v.dxx - 2 * list_dot_product(v.v, c.c) + list_dot_product(c.c, c.c) ASC,
+        |        c.cluster ASC) AS rk
+        |    FROM v, c${r - 1} c) t WHERE rk = 1),
+        |m$r AS (SELECT cluster, dim, floor(avg(v[dim]) * 10000 + 0.5) / 10000 AS cd
+        |  FROM a$r, generate_series(1, $dims) AS t(dim) GROUP BY cluster, dim),
+        |c$r AS (SELECT cluster, list(cd ORDER BY dim) AS c FROM m$r GROUP BY cluster)""".stripMargin
+    }
+    sb ++= s""",
+      |af AS (SELECT vec_id, cluster, sq FROM (
+      |    SELECT v.vec_id, c.cluster,
+      |      v.dxx - 2 * list_dot_product(v.v, c.c) + list_dot_product(c.c, c.c) AS sq,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        v.dxx - 2 * list_dot_product(v.v, c.c) + list_dot_product(c.c, c.c) ASC,
+      |        c.cluster ASC) AS rk
+      |    FROM v, c$rounds c) t WHERE rk = 1)""".stripMargin
+    sb.toString
+  }
+
+  private val kmCtes = kmeansCtes(
+    SimilarityQueries.KmeansK, SimilarityQueries.KmeansRounds, 64)
+
   // ---------------------------------------------------------------- specs
 
   val specs: Seq[QuerySpec] = Seq(
@@ -694,6 +736,47 @@ object Catalog {
         |  md5(array_to_string(list_transform(range(0, 16),
         |    i -> ((h * 31 + i * 2654435761) % 65536)::VARCHAR), ',')) AS feat_fp
         |FROM h ORDER BY media_id""".stripMargin)),
+
+    // the Lloyd iteration end-to-end: the oracle replays all three rounds
+    // (assignment + rounded means) and must land every vector in the same
+    // cluster at the same squared distance
+    QuerySpec("e9_kmeans_assign", SimilarityQueries.e9KmeansAssign,
+      Some(s"""WITH $kmCtes
+        |SELECT vec_id, cluster, floor(sq * 10000 + 0.5) / 10000 AS sq_dist
+        |FROM af ORDER BY vec_id""".stripMargin)),
+
+    // inertia = exact decimal sum of the display-rounded per-vector
+    // squared distances: order-independent on both engines
+    QuerySpec("e10_kmeans_inertia", SimilarityQueries.e10KmeansInertia,
+      Some(s"""WITH $kmCtes
+        |SELECT cluster, count(*) AS n_vecs,
+        |  CAST(sum(CAST(floor(sq * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS inertia
+        |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    // e6's probe/scan shape over the LEARNED quantizer: cells from af,
+    // probe ranking against the trained (round4'd) centroids
+    QuerySpec("e11_knn_ivf_learned", SimilarityQueries.e11KnnIVFLearned,
+      Some(s"""WITH $kmCtes,
+        |cn AS (SELECT cluster, c, sqrt(list_dot_product(c, c)) AS cent_norm
+        |  FROM c${SimilarityQueries.KmeansRounds}),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
+        |  FROM embeddings WHERE vec_id < 10),
+        |pr AS (SELECT q_id, qe, q_norm, cluster,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY list_dot_product(qe, c) / (q_norm * cent_norm) DESC, cluster) AS prank
+        |  FROM q, cn),
+        |probed AS (SELECT q_id, qe, q_norm, cluster AS q_cell FROM pr WHERE prank <= 2),
+        |cc AS (SELECT af.vec_id AS n_id, v.v AS ne, af.cluster AS n_cell,
+        |    sqrt(v.dxx) AS n_norm
+        |  FROM af JOIN v ON af.vec_id = v.vec_id),
+        |s AS (SELECT q_id, n_id, list_dot_product(qe, ne) / (q_norm * n_norm) AS cos
+        |  FROM probed JOIN cc ON q_cell = n_cell AND q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank,
+        |    floor(cos * 10000 + 0.5) / 10000 AS cos
+        |  FROM s)
+        |SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     QuerySpec("e4_centroid", SimilarityQueries.e4Centroid,
       Some("""WITH u AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS x

@@ -90,6 +90,45 @@ object SimilarityQueries {
         graft.operators.Relational.round4(col("max_err") / col("scale")).as("rel_err"))
       .orderBy(col("vec_id"))
 
+  /** k-means defaults shared by the e9/e10/e11 gates AND their generated
+    * oracle SQL ([[Catalog.kmeansCtes]]): 8 clusters, 3 Lloyd rounds, init
+    * = first k vectors by id. */
+  val KmeansK = 8
+  val KmeansRounds = 3
+
+  /** In-plan Lloyd k-means assignment after [[KmeansRounds]] rounds: which
+    * cluster each vector lands in, plus its squared distance — the learned
+    * replacement for the dataset's `label` column as the IVF coarse
+    * quantizer. */
+  def e9KmeansAssign(s: SparkSession, d: String): DataFrame =
+    kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds)._1
+      .select(col("vec_id"), col("cluster"),
+        graft.operators.Relational.round4(col("sq")).as("sq_dist"))
+      .orderBy(col("vec_id"))
+
+  /** Per-cluster inertia of the final k-means assignment (the quantity
+    * Lloyd descends): exact decimal sum of the display-rounded per-vector
+    * squared distances — order-independent, so distributed summation
+    * cannot perturb the gate. */
+  def e10KmeansInertia(s: SparkSession, d: String): DataFrame =
+    kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds)._1
+      .select(col("cluster"),
+        graft.operators.Relational.round4(col("sq")).as("sqr"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sqr").cast("decimal(18,4)")).cast("double").as("inertia"))
+      .orderBy(col("cluster"))
+
+  /** Multi-probe IVF ANN over the LEARNED quantizer: e6's probe/scan shape
+    * with cells and probe centroids from the in-plan k-means instead of
+    * the dataset's `label` column — the full train→assign→search path. */
+  def e11KnnIVFLearned(s: SparkSession, d: String): DataFrame = {
+    val (assigned, centroids) =
+      kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds)
+    knnIVFMultiProbeLearned(assigned, centroids, queriesSide(s, d), 5, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles

@@ -39,6 +39,34 @@ class SimilaritySpec extends SparkSpec {
       s"multi-probe over all cells must match brute force: $multi vs $brute")
   }
 
+  test("kmeans learns the planted two-cluster structure and drives learned multi-probe") {
+    // drop the label column entirely: the quantizer must be LEARNED.
+    // init = first-2 vectors (ids 0, 1) — one seed per planted cluster.
+    val planted =
+      (0 to 9).map(i => (i.toLong, Array(1.0f, 0.01f * i, 0f, 0f))) ++
+        (10 to 19).map(i => (i.toLong, Array(0.01f * (i - 10), 1.0f, 0f, 0f)))
+    val df = planted.toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.kmeans(df, k = 2, rounds = 3)
+    val byCluster = assigned.select($"vec_id", $"cluster")
+      .as[(Long, Int)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.keySet == Set(0, 1))
+    assert(byCluster(0) == (0L to 9L).toSet, s"cluster 0 = ${byCluster(0)}")
+    assert(byCluster(1) == (10L to 19L).toSet, s"cluster 1 = ${byCluster(1)}")
+    // distances are non-negative and deterministic across a re-run
+    val sq1 = assigned.select($"vec_id", $"sq").as[(Long, Double)].collect().sorted.toSeq
+    assert(sq1.forall(_._2 >= 0.0))
+    val sq2 = Similarity.kmeans(df, k = 2, rounds = 3)._1
+      .select($"vec_id", $"sq").as[(Long, Double)].collect().sorted.toSeq
+    assert(sq1 == sq2)
+    // learned multi-probe over both cells must equal brute force
+    val q = df.filter($"vec_id" === 5L)
+    val brute = Similarity.knnBruteForce(df, q, 3)
+      .orderBy($"rank").select($"n_id").as[Long].collect().toSeq
+    val learned = Similarity.knnIVFMultiProbeLearned(assigned, centroids, q, 3, nprobe = 2)
+      .orderBy($"rank").select($"n_id").as[Long].collect().toSeq
+    assert(learned == brute, s"learned multi-probe $learned vs brute $brute")
+  }
+
   test("multi-probe with nprobe=1 degrades to probing the nearest CENTROID (not the assignment)") {
     val all = corpus()
     val q = all.filter($"vec_id" === 0L)
