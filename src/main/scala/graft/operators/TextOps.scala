@@ -122,11 +122,11 @@ object TextOps {
       .distinct()
   }
 
-  /** (doc_id, sh) distinct-shingle frame — the shared upstream of both the
-    * LSH banding and the exact-Jaccard verification. Compute (and persist)
-    * it ONCE per pipeline: the tokenize→shingle pass is the dominant
-    * corpus-wide CPU cost. */
-  def shingleFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (doc_id, sh) distinct-shingle frame — the shared upstream of the LSH
+    * banding, the exact-Jaccard verification, and decontamination. Compute
+    * (and materialize) it ONCE per pipeline: the tokenize→shingle pass is
+    * the dominant corpus-wide CPU cost. */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     docs
       .repartition(par) // CPU-bound; don't inherit file-layout parallelism
@@ -134,7 +134,38 @@ object TextOps {
       // one-pass codegen'd shingling; [[shinglesOf]] is the reference
       // formulation it must match (pinned equal in TextOpsPropertySpec)
       .select(col("doc_id"),
-        graft.functions.VectorFunctions.shingles(col("__toks"), 3).as("sh"))
+        graft.functions.VectorFunctions.shingles(col("__toks"), n).as("sh"))
+  }
+
+  /** Cross-corpus decontamination: training docs sharing ≥ `minOverlap`
+    * distinct n-token shingles with any eval/benchmark doc — the dedup
+    * modality that keeps benchmark answers out of training data. Output is
+    * one row per contaminated (train, eval) pair with its overlap count;
+    * anti-join the flagged train ids to scrub.
+    *
+    * Plan shape at 100 TB: the EVAL side is small by nature (benchmarks are
+    * MBs, corpora are TBs), so its exploded shingle list is broadcast and
+    * the train corpus streams through one map-side equi-join — no shuffle
+    * of train shingles at all; the only exchange is the final
+    * (train, eval)-keyed overlap count, whose rows are bounded by matches.
+    * Broadcast also removes hot-shingle join skew (every task owns the
+    * whole eval table). Production dials: raise `n` (8-13-gram windows are
+    * the common contamination test; this corpus's small vocabulary makes
+    * trigrams-with-count-threshold the equivalent signal) and pre-drop
+    * shingles whose eval document frequency exceeds a cap (boilerplate). */
+  def decontaminationPairs(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minOverlap: Int = 3): DataFrame = {
+    val tsh = shingleFrame(train, idCol, textCol, n)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("s"))
+    val esh = shingleFrame(eval, idCol, textCol, n)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("s"))
+    // both sides are DISTINCT shingles per doc, so rows after the join are
+    // unique (train, eval, shingle) triples and count(*) IS the overlap
+    tsh.join(broadcast(esh), "s")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
   }
 
   /** (doc_id, band, bk) rows: one per LSH band per doc. Each intermediate

@@ -473,6 +473,23 @@ object Catalog {
         |  count(*) OVER (PARTITION BY cluster) AS cluster_size
         |FROM comp ORDER BY cluster, doc_id""".stripMargin)),
 
+    // decontamination: every 25th doc is the "benchmark"; a train doc is
+    // contaminated when it shares >= 3 distinct trigram shingles with any
+    // eval doc. Both sides' shingle lists are distinct per doc, so the
+    // join-then-count is exact on both engines.
+    QuerySpec("d7_decontaminate", TextQueries.d7Decontaminate,
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |shd AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE []::VARCHAR[] END)) AS s FROM tk),
+        |ev AS (SELECT doc_id AS eval_id, s FROM shd WHERE doc_id % 25 = 0),
+        |tr AS (SELECT doc_id AS train_id, s FROM shd WHERE doc_id % 25 <> 0)
+        |SELECT train_id, eval_id, count(*) AS n_overlap
+        |FROM tr JOIN ev USING (s)
+        |GROUP BY train_id, eval_id
+        |HAVING count(*) >= 3
+        |ORDER BY train_id, eval_id""".stripMargin)),
+
     // banded 32-bit shingle simhash pairs (SimHashSig): same md5 base hash
     // as minhash, ±1 vote per shingle per bit, banded 4×8 bits (pigeonhole:
     // hamming ≤ 3 ⇒ one exact band), verified with bit_count(xor). A

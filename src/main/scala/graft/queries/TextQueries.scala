@@ -125,6 +125,20 @@ object TextQueries {
       .orderBy(col("cluster"), col("doc_id"))
   }
 
+  /** Cross-corpus decontamination over a deterministic benchmark split:
+    * every 25th doc plays the eval set, the rest the training corpus;
+    * flag train docs sharing ≥ 3 distinct trigram shingles with any eval
+    * doc ([[graft.operators.TextOps.decontaminationPairs]] — broadcast
+    * eval side, map-side overlap join). */
+  def d7Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.TextOps.decontaminationPairs(
+      docs.filter(pmod(col("doc_id"), lit(25)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(25)) === 0),
+      "doc_id", "text")
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   /** Near-duplicate pairs by banded SimHash + exact hamming verify — the
     * third dedup modality (exact d1, shingle-Jaccard d2/d3, bit-signature
     * here): catches token-permutation near-dups that shingling misses. */
