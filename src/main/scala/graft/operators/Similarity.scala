@@ -156,10 +156,14 @@ object Similarity {
     *   - assignment = argmin over ‖x‖² − 2·x·c + ‖c‖², each dot a strictly
     *     left-to-right codegen'd fold ([[graft.functions.VecDot]]) over
     *     identical inputs, ties broken by cluster id;
-    *   - update = per-(cluster, dim) mean via posexplode — the map-reduce
-    *     centroid plan of e4, never a collect — display-rounded (round4)
-    *     BEFORE the next round's distance math: float sums in shuffled
-    *     order are not bit-reproducible across engines, rounded means are.
+    *   - update = ONE cluster-keyed wide aggregate (`dims` avg expressions
+    *     re-assembled into the centroid array): map-side partials carry
+    *     k × dims (sum, count) pairs per task — the same shuffle volume as
+    *     the exploded (cluster, dim)-row formulation (e4's display shape)
+    *     without its Generate and re-assembly aggregate. Means are
+    *     display-rounded (round4) BEFORE the next round's distance math:
+    *     float sums in shuffled order are not bit-reproducible across
+    *     engines, rounded means are.
     *
     * Each round's centroid table (k × dims doubles — tiny) is eagerly
     * localCheckpointed: the next round's plan references a materialized
@@ -174,7 +178,7 @@ object Similarity {
     * sampling idiom) and run only the final assignment pass over the full
     * corpus; the plan shapes are identical.
     */
-  def kmeans(corpus: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
+  def kmeans(corpus: DataFrame, k: Int, rounds: Int, dims: Int): (DataFrame, DataFrame) = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val vecs = corpus
       .repartition(par)
@@ -196,13 +200,9 @@ object Similarity {
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       centroids = assign(centroids)
-        .select(col("cluster"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("cd"))
-        .select(col("cluster"), col("pos"), Relational.round4(col("cd")).as("cd"))
         .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cd")))),
-          e => e.getField("cd")).as("c"))
+        .agg(array((1 to dims).map(i =>
+          Relational.round4(avg(element_at(col("v"), i)))): _*).as("c"))
         .localCheckpoint(true)
     }
     (assign(centroids), centroids)

@@ -95,13 +95,14 @@ object SimilarityQueries {
     * = first k vectors by id. */
   val KmeansK = 8
   val KmeansRounds = 3
+  val KmeansDims = 64
 
   /** In-plan Lloyd k-means assignment after [[KmeansRounds]] rounds: which
     * cluster each vector lands in, plus its squared distance — the learned
     * replacement for the dataset's `label` column as the IVF coarse
     * quantizer. */
   def e9KmeansAssign(s: SparkSession, d: String): DataFrame =
-    kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds)._1
+    kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)._1
       .select(col("vec_id"), col("cluster"),
         graft.operators.Relational.round4(col("sq")).as("sq_dist"))
       .orderBy(col("vec_id"))
@@ -111,7 +112,7 @@ object SimilarityQueries {
     * squared distances — order-independent, so distributed summation
     * cannot perturb the gate. */
   def e10KmeansInertia(s: SparkSession, d: String): DataFrame =
-    kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds)._1
+    kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)._1
       .select(col("cluster"),
         graft.operators.Relational.round4(col("sq")).as("sqr"))
       .groupBy(col("cluster"))
@@ -124,7 +125,7 @@ object SimilarityQueries {
     * the dataset's `label` column — the full train→assign→search path. */
   def e11KnnIVFLearned(s: SparkSession, d: String): DataFrame = {
     val (assigned, centroids) =
-      kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds)
+      kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)
     knnIVFMultiProbeLearned(assigned, centroids, queriesSide(s, d), 5, nprobe = 2)
       .orderBy(col("q_id"), col("rank"))
   }

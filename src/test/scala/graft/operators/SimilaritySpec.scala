@@ -46,7 +46,7 @@ class SimilaritySpec extends SparkSpec {
       (0 to 9).map(i => (i.toLong, Array(1.0f, 0.01f * i, 0f, 0f))) ++
         (10 to 19).map(i => (i.toLong, Array(0.01f * (i - 10), 1.0f, 0f, 0f)))
     val df = planted.toDF("vec_id", "embedding")
-    val (assigned, centroids) = Similarity.kmeans(df, k = 2, rounds = 3)
+    val (assigned, centroids) = Similarity.kmeans(df, k = 2, rounds = 3, dims = 4)
     val byCluster = assigned.select($"vec_id", $"cluster")
       .as[(Long, Int)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     assert(byCluster.keySet == Set(0, 1))
@@ -55,7 +55,7 @@ class SimilaritySpec extends SparkSpec {
     // distances are non-negative and deterministic across a re-run
     val sq1 = assigned.select($"vec_id", $"sq").as[(Long, Double)].collect().sorted.toSeq
     assert(sq1.forall(_._2 >= 0.0))
-    val sq2 = Similarity.kmeans(df, k = 2, rounds = 3)._1
+    val sq2 = Similarity.kmeans(df, k = 2, rounds = 3, dims = 4)._1
       .select($"vec_id", $"sq").as[(Long, Double)].collect().sorted.toSeq
     assert(sq1 == sq2)
     // learned multi-probe over both cells must equal brute force

@@ -20,7 +20,8 @@ class CacheLifecycleSpec extends SparkSpec {
   test("catalog queries leave no pinned cache entries") {
     spark.catalog.clearCache()
     val sharing = Seq("d2_minhash_pairs", "d3_jaccard_dupes", "d5_simhash_pairs",
-      "d6_dup_clusters", "c1_corpus_pipeline", "t9_tfidf", "x4_small_qty_revenue")
+      "d6_dup_clusters", "c1_corpus_pipeline", "t9_tfidf", "x4_small_qty_revenue",
+      "e9_kmeans_assign")
     for (name <- sharing) {
       Catalog.queries(name)(spark, dir).collect()
       assert(spark.sharedState.cacheManager.isEmpty,
