@@ -250,6 +250,42 @@ object TextOps {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Context-window chunking — the sequence-segmentation step that turns
+    * variable-length documents into training-window-sized pieces: token
+    * windows of `chunkSize` advancing by `chunkSize - overlap`, the last
+    * window clipped at the document end (and the chunk count chosen so the
+    * tail is always covered). Emits one row per chunk with its 1-based
+    * start offset, clipped length, and an md5 over the space-rejoined
+    * window (the gate-able content witness).
+    *
+    * Scale: pure scan-stage fan-out — one Generate per doc row, no
+    * shuffle; the expansion factor is ~n_tokens/stride, the same output
+    * volume any tokenizer-sharding pass pays. Chunk boundaries are token
+    * positions, so the operator never re-tokenizes downstream: a real
+    * pipeline feeds `slice` offsets straight to the packing stage. */
+  def chunkTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // chunks start at 1, 1+stride, ...; past-the-first chunks exist only
+      // while they add uncovered tokens: ceil((n - chunkSize) / stride)
+      .withColumn("__nc",
+        when(col("__n") <= chunkSize, lit(1))
+          .otherwise(expr(s"(__n - $chunkSize + ${stride - 1}) div $stride")
+            .cast("int") + 1))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_no"))
+      .withColumn("start_tok", (col("chunk_no") * stride + 1).cast("long"))
+      .withColumn("__ck", slice(col("__toks"), col("chunk_no") * stride + 1, lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_no"), col("start_tok"),
+        size(col("__ck")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__ck")).cast("binary")).as("chunk_md5"))
+  }
+
   /** Exact Jaccard similarity between two distinct-element arrays, by
     * inclusion-exclusion on integer cardinalities (one final double division
     * → deterministic across engines). */

@@ -619,6 +619,29 @@ object Catalog {
         |  FROM documents) t
         |WHERE pick <= 20 ORDER BY source, pick""".stripMargin)),
 
+    // context-window chunking: 32-token windows advancing by 24 (8-token
+    // overlap), tail-covering chunk count, md5 of each re-joined window
+    QuerySpec("c2_chunking", TextQueries.c2Chunking,
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |ck0 AS (SELECT doc_id, t, n,
+        |    unnest(generate_series(0, CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS i
+        |  FROM tk),
+        |sl AS (SELECT doc_id, CAST(i AS INT) AS chunk_no, i * 24 + 1 AS start_tok,
+        |    list_transform(generate_series(i * 24 + 1, least(i * 24 + 32, n)), j -> t[j]) AS ckt
+        |  FROM ck0)
+        |SELECT doc_id, chunk_no, CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(ckt) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ckt, ' ')) AS chunk_md5
+        |FROM sl ORDER BY doc_id, chunk_no""".stripMargin)),
+
+    // stratified mixture sampling: per-lang keep rates over the t6 hash
+    QuerySpec("t13_mixture_sample", TextQueries.t13MixtureSample,
+      Some("""SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+        |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'fr' THEN 25 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("t6_hash_sample", TextQueries.t6HashSample,
       Some("""SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0

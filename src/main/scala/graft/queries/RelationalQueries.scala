@@ -360,11 +360,15 @@ object RelationalQueries {
     * distinct count plus `approx_ok` — a 5%-relative-error assertion on
     * the sketch — which the oracle pins to literal TRUE. A drifting
     * estimate flips the boolean and fails the hash, so the sketch is
-    * genuinely gated, not just row-counted. */
+    * genuinely gated, not just row-counted. The sketch is sized rsd=0.01
+    * so the 5% gate sits at 5σ: the DEFAULT rsd (0.05) makes a 5% gate a
+    * ~1σ coin flip that in fact failed at sf0.1 — an assertion on an
+    * estimator must budget its σ, and the ~10 k-register sketch this buys
+    * is still O(kB) per group at any corpus size. */
   def a8ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
       .select(col("event_type"), col("exact_users"), col("n_events"),

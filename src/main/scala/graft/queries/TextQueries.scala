@@ -313,6 +313,32 @@ object TextQueries {
       .orderBy(col("source"), col("pick"))
   }
 
+  /** Context-window chunking over the corpus: 32-token windows, 8-token
+    * overlap ([[graft.operators.TextOps.chunkTokens]]) — the segmentation
+    * stage before sequence packing. */
+  def c2Chunking(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+      chunkSize = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_no"))
+
+  /** Stratified mixture sampling — the data-mixing step: per-language keep
+    * rates (en 50%, fr 25%, rest 10%) decided by the same content-stable
+    * hash as [[t6HashSample]], so the mix is reproducible, layout-
+    * independent, and SUBSETTABLE per stratum (halving a rate keeps a
+    * subset of the docs it kept before — hash membership, not RNG). */
+  def t13MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val rate = when(col("lang") === "en", 50)
+      .when(col("lang") === "fr", 25)
+      .otherwise(10)
+    Tables.documents(s, d)
+      .withColumn("__h",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .filter(col("__h") < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact length quantiles per language (linear interpolation); the
     * distribution-profiling step of corpus QA. Exact `percentile` needs the
     * group's values collected per group — fine for bounded group counts; at
