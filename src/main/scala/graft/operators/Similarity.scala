@@ -152,7 +152,9 @@ object Similarity {
     * per surviving cluster (`cluster`, `c` double array).
     *
     * Every step is deterministic and oracle-reproducible:
-    *   - init = the first k vectors by id (fixed seed), display-rounded;
+    *   - init = the k smallest-id vectors (fixed seed; works for sparse or
+    *     offset id spaces), cluster-labeled 0..k-1 by id rank,
+    *     display-rounded;
     *   - assignment = argmin over ‖x‖² − 2·x·c + ‖c‖², each dot a strictly
     *     left-to-right codegen'd fold ([[graft.functions.VecDot]]) over
     *     identical inputs, ties broken by cluster id;
@@ -194,9 +196,12 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("v"), col("dxx"), col("cluster"), col("sq"))
     }
-    var centroids = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"),
-        transform(col("v"), x => Relational.round4(x)).as("c"))
+    // seed = k smallest ids (TakeOrdered — no full sort), labeled by rank:
+    // the k-row window is a single tiny partition, not a scale concern
+    val w0 = Window.orderBy(col("vec_id"))
+    var centroids = vecs.orderBy(col("vec_id")).limit(k)
+      .withColumn("cluster", (row_number().over(w0) - 1).cast("int"))
+      .select(col("cluster"), transform(col("v"), x => Relational.round4(x)).as("c"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       centroids = assign(centroids)

@@ -86,9 +86,9 @@ object Catalog {
     sb ++= s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS dxx
       |  FROM embeddings),
-      |c0 AS (SELECT CAST(vec_id AS INT) AS cluster,
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
       |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS c
-      |  FROM v WHERE vec_id < $k)""".stripMargin
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k))""".stripMargin
     for (r <- 1 to rounds) {
       sb ++= s""",
         |a$r AS (SELECT vec_id, v, dxx, cluster FROM (

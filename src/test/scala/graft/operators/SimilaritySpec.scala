@@ -67,6 +67,20 @@ class SimilaritySpec extends SparkSpec {
     assert(learned == brute, s"learned multi-probe $learned vs brute $brute")
   }
 
+  test("kmeans: sparse ids seed correctly; k > corpus and duplicate vectors degrade gracefully") {
+    // ids nowhere near 0..k-1: seeds are the k SMALLEST ids, labeled 0..k-1
+    val sparse = Seq(
+      (1000L, Array(1f, 0f, 0f, 0f)),
+      (2000L, Array(1f, 0f, 0f, 0f)), // exact duplicate of 1000
+      (3000L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val (a, _) = Similarity.kmeans(sparse, k = 5, rounds = 2, dims = 4)
+    val m = a.select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(m.size == 3) // every vector assigned even though k > |corpus|
+    assert(m(1000L) == m(2000L)) // identical vectors share a cluster
+    assert(m.values.forall(c => c >= 0 && c < 3)) // rank labels, not raw ids
+  }
+
   test("multi-probe with nprobe=1 degrades to probing the nearest CENTROID (not the assignment)") {
     val all = corpus()
     val q = all.filter($"vec_id" === 0L)
