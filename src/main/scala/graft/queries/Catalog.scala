@@ -635,6 +635,31 @@ object Catalog {
         |  md5(array_to_string(ckt, ' ')) AS chunk_md5
         |FROM sl ORDER BY doc_id, chunk_no""".stripMargin)),
 
+    // sequence packing over c2's chunks: cumulative token count within
+    // (lang, shard), pack = (cum - n) // 512 — integer math, exact on
+    // both engines; the unique (doc_id, chunk_no) ordering key makes the
+    // default RANGE frame equal to ROWS
+    QuerySpec("c3_packing", TextQueries.c3Packing,
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |ck0 AS (SELECT doc_id, t, n,
+        |    unnest(generate_series(0, CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS i
+        |  FROM tk),
+        |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_no,
+        |    CAST(len(list_transform(generate_series(i * 24 + 1, least(i * 24 + 32, n)), j -> t[j])) AS BIGINT) AS n_tokens
+        |  FROM ck0),
+        |j AS (SELECT ch.doc_id, ch.chunk_no, ch.n_tokens, d.lang,
+        |    CAST(ch.doc_id % 8 AS INT) AS shard
+        |  FROM ch JOIN documents d ON ch.doc_id = d.doc_id),
+        |cw AS (SELECT lang, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id, chunk_no
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM j)
+        |SELECT lang, shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM cw GROUP BY lang, shard, pack_id
+        |ORDER BY lang, shard, pack_id""".stripMargin)),
+
     // stratified mixture sampling: per-lang keep rates over the t6 hash
     QuerySpec("t13_mixture_sample", TextQueries.t13MixtureSample,
       Some("""SELECT doc_id, lang, source FROM documents

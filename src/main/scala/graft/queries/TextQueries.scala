@@ -321,6 +321,35 @@ object TextQueries {
       chunkSize = 32, overlap = 8)
       .orderBy(col("doc_id"), col("chunk_no"))
 
+  /** Sequence packing — the step after chunking: assign chunks to
+    * ~`budget`-token training sequences by running cumulative token count,
+    * in deterministic (doc_id, chunk_no) order WITHIN (lang, shard)
+    * partitions. pack_id = (cum − n) div budget places the straddling
+    * chunk in the earlier pack (dense packing with boundary overflow; a
+    * padding packer would close the pack instead — same plan, different
+    * boundary rule). The shard key (doc_id mod 8 here) is the scale dial:
+    * packing is embarrassingly parallel across shards and the shard count
+    * grows with the corpus, so no window partition is ever corpus-sized —
+    * unlike a per-lang-only window, which would be the classic unbounded-
+    * partition mistake. Integer math end to end: exact on both engines. */
+  def c3Packing(s: SparkSession, d: String): DataFrame = {
+    val budget = 512
+    val chunks = graft.operators.TextOps.chunkTokens(
+      Tables.documents(s, d), "doc_id", "text", chunkSize = 32, overlap = 8)
+    val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+    chunks
+      .join(langs, "doc_id")
+      .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy(col("lang"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy(col("lang"), col("shard"), col("pack_id"))
+  }
+
   /** Stratified mixture sampling — the data-mixing step: per-language keep
     * rates (en 50%, fr 25%, rest 10%) decided by the same content-stable
     * hash as [[t6HashSample]], so the mix is reproducible, layout-
