@@ -368,4 +368,75 @@ object TextOps {
       text.substr(lit(1), lit(64)),
       text.substr(greatest(length(text) - 63, lit(1)), lit(64)),
       length(text).cast("string")).cast("binary"))
+
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 shapes):
+    * per-doc token-count band, mean-word-length band, duplicate-2-gram
+    * fraction, stopword presence, and the conjunctive keep flag. Mean word
+    * length needs no per-token fold — `len(text without spaces) / n` is
+    * exact for any whitespace tokenization. 2-grams come from one zip_with
+    * over the materialized token array (each array in its own select — the
+    * HOF-interpretation rule). Scan-stage only: no shuffle at any scale;
+    * boundary comparisons run on round4'd doubles so the oracle ranks the
+    * same values. */
+  def gopherRules(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 40, mwlLo: Double = 3.0, mwlHi: Double = 5.0,
+      maxDup2: Double = 0.05, minStop: Int = 2): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        length(replace(col("__text"), lit(" "), lit(""))).cast("long").as("__chars"),
+        stopwordCount(col("__t")).cast("long").as("sw_hits"))
+      .select(col("doc_id"), col("n_tokens"), col("__chars"), col("sw_hits"),
+        zip_with(
+          slice(col("__t"), lit(1), (col("n_tokens") - 1).cast("int")),
+          slice(col("__t"), lit(2), (col("n_tokens") - 1).cast("int")),
+          (a, b) => concat(a, lit(" "), b)).as("__g2"))
+      .select(col("doc_id"), col("n_tokens"), col("__chars"), col("sw_hits"),
+        (col("n_tokens") - 1).as("__n2"),
+        size(array_distinct(col("__g2"))).cast("long").as("__d2"))
+      .select(col("doc_id"), col("n_tokens"), col("sw_hits"),
+        Relational.round4(
+          col("__chars").cast("double") / col("n_tokens")).as("mwl"),
+        when(col("__n2") > 0,
+          Relational.round4(
+            lit(1.0) - col("__d2").cast("double") / col("__n2")))
+          .otherwise(lit(0.0)).as("dup2_frac"))
+      .withColumn("ok_len", col("n_tokens") >= minTokens)
+      .withColumn("ok_mwl", col("mwl") >= mwlLo && col("mwl") <= mwlHi)
+      .withColumn("ok_rep", col("dup2_frac") <= maxDup2)
+      .withColumn("ok_stop", col("sw_hits") >= minStop)
+      .withColumn("keep",
+        col("ok_len") && col("ok_mwl") && col("ok_rep") && col("ok_stop"))
+
+  // ---------------------------------------------------------- PII scrubbing
+
+  /** PII patterns, deliberately limited to syntax that means the same thing
+    * under Java regex (Spark executors) and RE2 (the DuckDB oracle): char
+    * classes, `\d`, bounded repetition — no backrefs, no lookaround. */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val piiPhoneRe = "\\d{3}-\\d{4}"
+
+  /** Per-row PII hit counts on the raw text (computed BEFORE redaction, so
+    * the counts are independent of replacement order). Spark's
+    * `regexp_extract_all` size is INT — cast to long for the oracle. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> size(regexp_extract_all(text, lit(piiEmailRe), lit(0))).cast("long"),
+    "n_ip" -> size(regexp_extract_all(text, lit(piiIpRe), lit(0))).cast("long"),
+    "n_phone" -> size(regexp_extract_all(text, lit(piiPhoneRe), lit(0))).cast("long"))
+
+  /** Redact PII with typed placeholders, replacing email → IPv4 → phone in
+    * that order: emails carry dotted hosts and digit runs, so they must
+    * leave the string before the broader numeric patterns scan it. Pure
+    * scan-stage codegen'd string work — no shuffle, no UDF; at 100 TB this
+    * is exactly as parallel as the underlying file scan. */
+  def redactPII(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailRe, "<EMAIL>"),
+        piiIpRe, "<IP>"),
+      piiPhoneRe, "<PHONE>")
 }

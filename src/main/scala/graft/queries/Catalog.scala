@@ -359,6 +359,18 @@ object Catalog {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000 AS mov7
         |FROM daily ORDER BY o_orderdate""".stripMargin)),
 
+    // offset windows: lag/lead/ntile share ONE custkey window; day gaps in
+    // integer micros so no date-cast semantics differ between engines
+    QuerySpec("x5_lead_lag", RelationalQueries.x5LeadLag,
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderdate) OVER w AS prev_ts,
+        |  lead(o_orderdate) OVER w AS next_ts,
+        |  (epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER w)) // 86400000000 AS gap_days,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
     // ordered listagg: the explicit sort inside the aggregate is what makes
     // distributed string aggregation deterministic
     QuerySpec("x6_listagg", RelationalQueries.x6Listagg,
@@ -618,6 +630,56 @@ object Catalog {
         |    CAST(row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS INT) AS pick
         |  FROM documents) t
         |WHERE pick <= 20 ORDER BY source, pick""".stripMargin)),
+
+    // PII scrubbing: the CASE plants a contact line in 2/3 of docs (the
+    // corpus has no PII of its own — the redactor must be seen to fire);
+    // counts on raw text, replacement order email -> IP -> phone, and the
+    // 'g' flags because DuckDB regexp_replace is first-match by default
+    QuerySpec("t12_pii_redact", TextQueries.t12PiiRedact,
+      Some("""WITH seeded AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text
+        |       ELSE 'user' || CAST(doc_id AS VARCHAR) || '@mail'
+        |         || CAST(doc_id % 10 AS VARCHAR) || '.example.com call 555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' || text
+        |  END AS t FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ip,
+        |  len(regexp_extract_all(t, '\d{3}-\d{4}')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |    '\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM seeded ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style rule battery: mean word length via len(text sans
+    // spaces)/n — no per-token fold; dup-2-gram fraction on round4'd
+    // doubles so both engines compare identical values
+    QuerySpec("t14_gopher_rules", TextQueries.t14GopherRules,
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS chars,
+        |    CAST(len(list_filter(tk,
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS sw_hits,
+        |    list_transform(generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1]) AS g2
+        |  FROM t),
+        |c AS (SELECT doc_id, n_tokens, sw_hits,
+        |    floor(chars * 1.0 / n_tokens * 10000 + 0.5) / 10000 AS mwl,
+        |    len(g2) AS n2, len(list_distinct(g2)) AS d2 FROM b),
+        |f AS (SELECT doc_id, n_tokens, sw_hits, mwl,
+        |    CASE WHEN n2 > 0
+        |      THEN floor((1 - d2 * 1.0 / n2) * 10000 + 0.5) / 10000
+        |      ELSE 0.0 END AS dup2_frac FROM c)
+        |SELECT doc_id, n_tokens, sw_hits, mwl, dup2_frac,
+        |  (n_tokens >= 40) AS ok_len,
+        |  (mwl >= 3.0 AND mwl <= 5.0) AS ok_mwl,
+        |  (dup2_frac <= 0.05) AS ok_rep,
+        |  (sw_hits >= 2) AS ok_stop,
+        |  (n_tokens >= 40 AND mwl >= 3.0 AND mwl <= 5.0
+        |    AND dup2_frac <= 0.05 AND sw_hits >= 2) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin)),
 
     // context-window chunking: 32-token windows advancing by 24 (8-token
     // overlap), tail-covering chunk count, md5 of each re-joined window

@@ -416,6 +416,28 @@ object RelationalQueries {
     * left it pinned in the cache until an external clearCache). avg =
     * exact decimal sum / count so shuffle order cannot perturb the
     * threshold. */
+  /** Offset window functions (SURVEY §2.8 breadth): per-customer order
+    * timeline with lag/lead neighbors, day gaps, and ntile quartiles — the
+    * inter-arrival-time shape every retention/cadence analysis runs. One
+    * shuffle on o_custkey serves all four window functions (same frame
+    * spec). Day math is integer micros (`div 86400000000` ≡ DuckDB
+    * `epoch_us // 86400000000`) — no date-cast or timezone semantics in
+    * play. ntile is position-defined, so the (o_orderdate, o_orderkey)
+    * tie-break makes it engine-independent. */
+  def x5LeadLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_ts", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("next_ts", lead(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        expr("""(unix_micros(cast(o_orderdate as timestamp))
+          - unix_micros(cast(prev_ts as timestamp))) div 86400000000"""))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   def x4SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
     val brandParts = Tables.part(s, d)
       .filter(col("p_brand") === "Brand#1")

@@ -368,6 +368,49 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrubbing — count and redact emails / IPv4s / phone-shaped spans,
+    * emitting the redacted text's md5 as the gate-able witness. The corpus
+    * itself is PII-free, so the gate deterministically plants a contact
+    * line in two of every three docs (same CASE in the oracle SQL): the
+    * redactor must be seen to FIRE, not just pass text through. Counts are
+    * taken on the raw text; redaction replaces email → IP → phone (see
+    * [[graft.operators.TextOps.redactPII]]). */
+  def t12PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val contact = concat(
+      lit("user"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 10).cast("string"),
+      lit(".example.com call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1 "))
+    val seeded = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(contact, col("text"))).as("__t"))
+    seeded.select(
+      (col("doc_id") +:
+        graft.operators.TextOps.piiCounts(col("__t"))
+          .map { case (n, c) => c.as(n) }) :+
+        md5(graft.operators.TextOps.redactPII(col("__t")).cast("binary"))
+          .as("redacted_md5"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style quality-rule battery — the per-document rule flags a
+    * corpus-cleaning pass actually gates on (Rae et al. 2021 §A1.1 shapes):
+    * token-count band, mean word length band, duplicate-2-gram fraction,
+    * stopword presence, and the conjunctive keep decision. Complements
+    * [[t3QualityScore]] (blended score) and [[t10Repetition]] (top-token
+    * ratio) with the rule family neither covers: n-gram repetition and
+    * word-shape bounds.
+    *
+    * Each array is materialized in its own select (HOFs are interpreted —
+    * never nest the split inside a lambda); mean word length avoids a
+    * per-token fold entirely via `len(text without spaces) / n`. All
+    * boundary comparisons run on round4'd doubles so both engines rank the
+    * same values. Scan-stage only — no shuffle. */
+  def t14GopherRules(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Exact length quantiles per language (linear interpolation); the
     * distribution-profiling step of corpus QA. Exact `percentile` needs the
     * group's values collected per group — fine for bounded group counts; at
