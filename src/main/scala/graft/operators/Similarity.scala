@@ -156,8 +156,14 @@ object Similarity {
     *     offset id spaces), cluster-labeled 0..k-1 by id rank,
     *     display-rounded;
     *   - assignment = argmin over ‖x‖² − 2·x·c + ‖c‖², each dot a strictly
-    *     left-to-right codegen'd fold ([[graft.functions.VecDot]]) over
-    *     identical inputs, ties broken by cluster id;
+    *     left-to-right double fold ([[graft.functions.VecDot]]) over
+    *     identical inputs, ties broken by cluster id. The k centroids are
+    *     packed into ONE broadcast row (array of structs, sorted by
+    *     cluster id) and the argmin is a scalar `aggregate` fold over that
+    *     array — assignment is pure scan-stage work. The alternative
+    *     (crossJoin with k centroid ROWS + a per-vector window/min_by)
+    *     re-shuffles corpus×k rows EVERY round — the formulation that dies
+    *     first at 100 TB;
     *   - update = ONE cluster-keyed wide aggregate (`dims` avg expressions
     *     re-assembled into the centroid array): map-side partials carry
     *     k × dims (sum, count) pairs per task — the same shuffle volume as
@@ -186,31 +192,50 @@ object Similarity {
       .repartition(par)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("dxx", dot(col("v"), col("v")))
-    def assign(cent: DataFrame): DataFrame = {
-      val withD = cent.withColumn("dcc", dot(col("c"), col("c")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sq").asc, col("cluster").asc)
-      vecs.crossJoin(broadcast(withD))
-        .withColumn("sq",
-          col("dxx") - lit(2.0) * dot(col("v"), col("c")) + col("dcc"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("dxx"), col("cluster"), col("sq"))
-    }
+    // (cluster, c) rows -> ONE row holding all k centroids (+ self-dots),
+    // sorted by cluster id so the fold's strict < keeps the lowest id on
+    // ties — identical tie semantics to a (sq asc, cluster asc) ranking
+    def packed(cent: DataFrame): DataFrame =
+      cent
+        .withColumn("dcc", dot(col("c"), col("c")))
+        .agg(array_sort(collect_list(
+          struct(col("cluster"), col("c"), col("dcc")))).as("cents"))
+    def assign(centArr: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(centArr))
+        .withColumn("best", aggregate(
+          col("cents"),
+          struct(lit(Double.MaxValue).as("sq"), lit(-1).as("cluster")),
+          (acc, ct) => {
+            val sq = col("dxx") - lit(2.0) * dot(col("v"), ct.getField("c")) +
+              ct.getField("dcc")
+            when(sq < acc.getField("sq"),
+              struct(sq.as("sq"), ct.getField("cluster").as("cluster")))
+              .otherwise(acc)
+          }))
+        .select(col("vec_id"), col("v"), col("dxx"),
+          col("best").getField("cluster").as("cluster"),
+          col("best").getField("sq").as("sq"))
     // seed = k smallest ids (TakeOrdered — no full sort), labeled by rank:
     // the k-row window is a single tiny partition, not a scale concern
     val w0 = Window.orderBy(col("vec_id"))
-    var centroids = vecs.orderBy(col("vec_id")).limit(k)
-      .withColumn("cluster", (row_number().over(w0) - 1).cast("int"))
-      .select(col("cluster"), transform(col("v"), x => Relational.round4(x)).as("c"))
+    var centArr = packed(
+      vecs.orderBy(col("vec_id")).limit(k)
+        .withColumn("cluster", (row_number().over(w0) - 1).cast("int"))
+        .select(col("cluster"),
+          transform(col("v"), x => Relational.round4(x)).as("c")))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      centroids = assign(centroids)
-        .groupBy(col("cluster"))
-        .agg(array((1 to dims).map(i =>
-          Relational.round4(avg(element_at(col("v"), i)))): _*).as("c"))
+      centArr = packed(
+        assign(centArr)
+          .groupBy(col("cluster"))
+          .agg(array((1 to dims).map(i =>
+            Relational.round4(avg(element_at(col("v"), i)))): _*).as("c")))
         .localCheckpoint(true)
     }
-    (assign(centroids), centroids)
+    val centroids = centArr
+      .select(explode(col("cents")).as("ct"))
+      .select(col("ct.cluster").as("cluster"), col("ct.c").as("c"))
+    (assign(centArr), centroids)
   }
 
   /** Multi-probe IVF ANN over a LEARNED assignment: [[knnIVFMultiProbe]]'s

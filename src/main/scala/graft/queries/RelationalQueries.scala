@@ -364,13 +364,23 @@ object RelationalQueries {
     * so the 5% gate sits at 5σ: the DEFAULT rsd (0.05) makes a 5% gate a
     * ~1σ coin flip that in fact failed at sf0.1 — an assertion on an
     * estimator must budget its σ, and the ~10 k-register sketch this buys
-    * is still O(kB) per group at any corpus size. */
+    * is still O(kB) per group at any corpus size.
+    *
+    * Plan shape: a distinct aggregate NEXT TO other aggregates would plan
+    * an Expand (every event row duplicated per aggregate branch) with the
+    * 16 k-register HLL updated once per expanded row. Pre-aggregating on
+    * (event_type, user_id) instead collapses map-side first, makes the
+    * exact distinct a plain count, and feeds the HLL only distinct pairs —
+    * identical estimate (HLL registers are insensitive to duplicates), one
+    * shuffle, no Expand. Measured 2.46 s → 1.17 s at sf0.1. */
   def a8ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("__n"))
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
-        count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("exact_users"),
+        sum(col("__n")).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .select(col("event_type"), col("exact_users"), col("n_events"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users").cast("double") * 0.05).as("approx_ok"))
