@@ -905,6 +905,40 @@ object Catalog {
         |  FROM s)
         |SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // ANN evaluation: recall@5 of the learned multi-probe search vs the
+    // brute-force truth — e11's CTE chain (through r) plus e1's brute
+    // ranking, joined per (q_id, n_id)
+    QuerySpec("e12_recall_at_k", SimilarityQueries.e12RecallAtK,
+      Some(s"""WITH $kmCtes,
+        |cn AS (SELECT cluster, c, sqrt(list_dot_product(c, c)) AS cent_norm
+        |  FROM c${SimilarityQueries.KmeansRounds}),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
+        |  FROM embeddings WHERE vec_id < 10),
+        |pr AS (SELECT q_id, qe, q_norm, cluster,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY list_dot_product(qe, c) / (q_norm * cent_norm) DESC, cluster) AS prank
+        |  FROM q, cn),
+        |probed AS (SELECT q_id, qe, q_norm, cluster AS q_cell FROM pr WHERE prank <= 2),
+        |cc AS (SELECT af.vec_id AS n_id, v.v AS ne, af.cluster AS n_cell,
+        |    sqrt(v.dxx) AS n_norm
+        |  FROM af JOIN v ON af.vec_id = v.vec_id),
+        |s AS (SELECT q_id, n_id, list_dot_product(qe, ne) / (q_norm * n_norm) AS cos
+        |  FROM probed JOIN cc ON q_cell = n_cell AND q_id <> n_id),
+        |approx AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM s) t WHERE rank <= 5),
+        |bs AS (SELECT q.q_id, v.vec_id AS n_id,
+        |    list_dot_product(qe, v.v) / (q_norm * sqrt(v.dxx)) AS cos
+        |  FROM q, v WHERE q.q_id <> v.vec_id),
+        |truth AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM bs) t WHERE rank <= 5)
+        |SELECT t.q_id, count(*) AS n_truth, count(a.n_id) AS n_hit,
+        |  floor(count(a.n_id) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS recall
+        |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
+        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
+
     QuerySpec("e4_centroid", SimilarityQueries.e4Centroid,
       Some("""WITH u AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS x
         |        FROM embeddings, generate_series(1, 64) AS t(i))

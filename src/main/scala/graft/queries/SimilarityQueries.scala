@@ -130,6 +130,34 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Recall@5 of the learned-IVF search against the brute-force ground
+    * truth — the standard ANN quality measurement, closing the
+    * train→assign→search→EVALUATE loop in-plan. Per query: how many of the
+    * exact top-5 neighbors ([[e1KnnBrute]]'s result) the multi-probe
+    * learned search ([[e11KnnIVFLearned]]'s result) returned. Both sides
+    * are tiny ranked lists (q × k rows), so the compare join is broadcast
+    * and the cost is the two searches themselves; the denominator is the
+    * per-query truth count (= k here), so the gate stays honest if a query
+    * ever has fewer than k neighbors. */
+  def e12RecallAtK(s: SparkSession, d: String): DataFrame = {
+    val (assigned, centroids) =
+      kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)
+    val truth = knnBruteForce(Tables.embeddings(s, d), queriesSide(s, d), 5)
+      .select(col("q_id"), col("n_id"))
+    val approx =
+      knnIVFMultiProbeLearned(assigned, centroids, queriesSide(s, d), 5, nprobe = 2)
+        .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+    truth
+      .join(broadcast(approx),
+        col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"), count(col("a_n")).as("n_hit"))
+      .select(col("q_id"), col("n_truth"), col("n_hit"),
+        graft.operators.Relational.round4(
+          col("n_hit").cast("double") / col("n_truth")).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles
