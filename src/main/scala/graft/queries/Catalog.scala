@@ -341,6 +341,25 @@ object Catalog {
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Count-Min heavy hitters: the whole grid is deterministic integer
+    // math (md5 -> 32-bit -> universal hash), so estimates are gated
+    // exactly, not just bounded; DuckDB's HUGEINT sums cast back to BIGINT
+    QuerySpec("a9_cms_topk", RelationalQueries.a9CmsTopk,
+      Some("""WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |h AS (SELECT user_id, n,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+        |  FROM pu),
+        |probes AS (SELECT user_id, n, j, ((hh * a + b) % 2147483647) % 64 AS bucket
+        |  FROM h, (VALUES (0, 31, 7), (1, 37, 11), (2, 41, 13), (3, 43, 17)) AS t(j, a, b)),
+        |grid AS (SELECT j, bucket, CAST(sum(n) AS BIGINT) AS cell
+        |  FROM probes GROUP BY j, bucket),
+        |est AS (SELECT p.user_id, CAST(min(g.cell) AS BIGINT) AS est_n
+        |  FROM probes p JOIN grid g USING (j, bucket) GROUP BY p.user_id)
+        |SELECT pu.user_id, pu.n AS exact_n, est.est_n,
+        |  est.est_n >= pu.n AS lower_ok
+        |FROM pu JOIN est USING (user_id)
+        |ORDER BY est_n DESC, user_id LIMIT 10""".stripMargin)),
+
     QuerySpec("x2_pivot_counts", RelationalQueries.x2PivotCounts,
       Some("""SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,

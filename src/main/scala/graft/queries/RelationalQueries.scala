@@ -386,6 +386,34 @@ object RelationalQueries {
           col("exact_users").cast("double") * 0.05).as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** Count-Min heavy hitters (the bounded-memory path a8's scaladoc family
+    * completes): build a 4×64 CMS grid over per-user event counts, point-
+    * estimate every user against it, and emit the top-10 by estimate with
+    * the CMS lower-bound invariant (est ≥ exact) as a pinned gate column.
+    * The 64-bucket width is deliberately small for ~10²-10³ keys: heavy
+    * collision pressure makes `est_n` genuinely diverge from `exact_n`, so
+    * the gate exercises the sketch, not a disguised exact count. See
+    * [[graft.operators.Sketch]] for why construction is one mergeable
+    * groupBy and the grid broadcasts at any input size. The per-user
+    * aggregate feeds the grid, the probes, and the exact column, so it is
+    * eagerly localCheckpointed — three consumers, one events scan, nothing
+    * left pinned in the cache. */
+  def a9CmsTopk(s: SparkSession, d: String): DataFrame = {
+    val width = 64
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val grid = graft.operators.Sketch.cmsGrid(perUser, "user_id", "n", width)
+    val est = graft.operators.Sketch.cmsEstimate(
+      perUser.select(col("user_id")), "user_id", grid, width)
+    perUser
+      .join(est, "user_id")
+      .select(col("user_id"), col("n").as("exact_n"), col("est").as("est_n"),
+        (col("est") >= col("n")).as("lower_ok"))
+      .orderBy(col("est_n").desc, col("user_id"))
+      .limit(10)
+  }
+
   /** Pivot (beyond the reference): per-user event-type counts as columns.
     * Explicit pivot values keep the plan single-pass (no distinct-values
     * pre-query) — the right call at scale where the domain is known. */
