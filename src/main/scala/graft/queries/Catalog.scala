@@ -266,6 +266,17 @@ object Catalog {
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_us <= v.t
         |ORDER BY c.user_id, c.event_id""".stripMargin)),
 
+    // SCD2 history: every record versioned [own ts, next ts) per key; the
+    // open-ended current version carries a NULL valid_to
+    QuerySpec("s6_scd2_intervals", RelationalQueries.s6Scd2Intervals,
+      Some("""SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER w AS valid_to_us,
+        |  (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
+
     QuerySpec("s4_range_pairs", RelationalQueries.s4RangePairs,
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events)
         |SELECT a.user_id, count(*) AS n_pairs

@@ -46,6 +46,25 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** SCD-type-2 validity intervals — the temporal-modeling twin of
+    * [[s2LatestByKey]]: instead of keeping only each key's latest record,
+    * every record becomes a versioned row valid from its own timestamp
+    * until the key's next record (open-ended for the current version).
+    * One lead() over the same (key, time, tie-break) window s2 ranks by —
+    * a single shuffle on user_id builds the full history table. Time is
+    * integer micros (`ts div 1000` ≡ `epoch_us`); the trailing NULL
+    * valid_to is the standard open-interval encoding and hashes fine. */
+  def s6Scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
   /** Date-band filter (SURVEY §2.3 P4, reference TargetCustomerFilter's
     * decade band). Predicate reaches the parquet scan as a pushed filter. */
   def p4FilterDateband(s: SparkSession, d: String): DataFrame =
