@@ -286,6 +286,116 @@ object TextOps {
         md5(concat_ws(" ", col("__ck")).cast("binary")).as("chunk_md5"))
   }
 
+  /** Cross-doc duplicate-span removal (the C4 boilerplate rule, Raffel et
+    * al. 2020 §2.2, over fixed `segLen`-token segments): a doc's segment
+    * drops when its content appears in ≥ `minDocs` DISTINCT docs. Returns
+    * one row per doc: (doc_id, n_segs, n_dropped, kept_md5) where kept_md5
+    * hashes the doc's surviving text in original segment order (a doc that
+    * loses everything hashes the empty string). Complements whole-doc
+    * dedup: boilerplate lives INSIDE otherwise-unique docs, so no
+    * doc-level fingerprint catches it.
+    *
+    * Plan at scale: one scan + one segment explode (segments ≈ tokens ∕
+    * segLen); the frequency side reduces DISTINCT (segment, doc) pairs to
+    * segment cardinality before joining back (cardinalities, not
+    * instances — t9's df shape). Reassembly collects only each doc's OWN
+    * kept segments (doc-sized lists, never a corpus-wide sort), order
+    * restored by seg_no. */
+  def spanDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      segLen: Int = 8, minDocs: Int = 2): DataFrame = {
+    val segs = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), expr(s"(size(__t) + ${segLen - 1}) div $segLen").cast("int") - 1),
+        i => array_join(slice(col("__t"), i * segLen + 1, lit(segLen)), " "))))
+      .select(col("doc_id"), col("pos").cast("int").as("seg_no"),
+        col("col").as("seg"))
+    val freq = segs
+      .select(md5(col("seg").cast("binary")).as("seg_md5"), col("doc_id"))
+      .distinct()
+      .groupBy(col("seg_md5"))
+      .agg(count(lit(1)).as("doc_freq"))
+    segs
+      .withColumn("seg_md5", md5(col("seg").cast("binary")))
+      .join(freq, "seg_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("doc_freq") >= minDocs, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips nulls -> only kept segments survive; the
+        // struct sort restores seg_no order
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("doc_freq") < minDocs,
+            struct(col("seg_no"), col("seg"))))),
+          e => e.getField("seg")), " ").cast("binary")).as("kept_md5"))
+  }
+
+  /** Smoothed unigram language-model score (the in-plan analog of the
+    * CCNet/KenLM perplexity filter, Wenzek et al. 2020 — the unigram
+    * factorization trains in ONE aggregate instead of offline): token
+    * probability = add-one-smoothed corpus frequency, doc score = mean
+    * log-probability of its tokens. Returns (doc_id, n_tokens,
+    * avg_logprob).
+    *
+    * One explode feeds the (doc, term) tf aggregate; per-term corpus
+    * counts are a window over tf (term cardinality, not token instances);
+    * corpus mass + vocab size are a 1-row broadcast off the same frame.
+    * Per-token log-probs are display-rounded then accumulated as exact
+    * decimals — the per-doc mean is order-independent under any
+    * partitioning (double addition is not associative; decimal is). */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tot = tf.agg(sum(col("tf")).as("n_corpus"),
+      countDistinct(col("term")).as("vocab"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    tf
+      .withColumn("ctot", sum(col("tf")).over(wt))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", Relational.round4(
+        log((col("ctot") + 1).cast("double") / (col("n_corpus") + col("vocab")))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("decimal(18,4)") * col("lp").cast("decimal(18,4)"))
+          .as("__slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        Relational.round4(
+          col("__slp").cast("double") / col("n_tokens")).as("avg_logprob"))
+  }
+
+  /** Temperature-scaled mixture sampling (the α-smoothed multilingual
+    * rebalancing of XLM-R, Conneau et al. 2020 §3.1, at α = 0.5): per-
+    * stratum keep rates ∝ √(stratum mass), so low-resource strata are
+    * up-weighted relative to corpus share. Membership is the stable
+    * content hash (t6's idiom): reproducible, layout-independent, per-
+    * stratum subsettable. Returns the kept docs as (doc_id, <stratum>,
+    * rate) with rate in [0, 10000].
+    *
+    * Cross-engine determinism: √n is IEEE-correctly-rounded (unlike pow —
+    * why α is fixed at ½), rounded weights are summed as decimals (order-
+    * independent), and each rate is a floor of one double division of
+    * identical inputs. The rate table is strata-sized (a broadcast row
+    * set); the sample itself is a scan-stage hash filter. */
+  def temperatureMix(docs: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    val w = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__sw", Relational.round4(
+        sqrt(col("n_docs"))).cast("decimal(18,4)"))
+    val tot = w.agg(sum(col("__sw")).as("__tot"))
+    val rates = w.crossJoin(broadcast(tot))
+      .select(col(stratumCol), floor(
+        col("__sw").cast("double") / col("__tot").cast("double") * 10000)
+        .cast("long").as("rate"))
+    docs
+      .join(broadcast(rates), stratumCol)
+      .withColumn("__h",
+        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 10000)
+      .filter(col("__h") < col("rate"))
+      .select(col(idCol), col(stratumCol), col("rate"))
+  }
+
   /** Exact Jaccard similarity between two distinct-element arrays, by
     * inclusion-exclusion on integer cardinalities (one final double division
     * → deterministic across engines). */

@@ -752,6 +752,59 @@ object Catalog {
         |FROM cw GROUP BY lang, shard, pack_id
         |ORDER BY lang, shard, pack_id""".stripMargin)),
 
+    // C4-rule duplicate-span removal: a doc's 8-token segment drops when
+    // its content appears in >= 2 distinct docs; kept text re-hashed in
+    // seg_no order (string_agg FILTER+ORDER BY = Spark's sorted collect of
+    // the null-skipped when(); coalesce('') = Spark's empty-array join)
+    QuerySpec("d8_span_dedup", TextQueries.d8SpanDedup(_, _),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sg0 AS (SELECT doc_id, t,
+        |    unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS i FROM tk),
+        |segs AS (SELECT doc_id, CAST(i AS INT) AS seg_no,
+        |    array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg FROM sg0),
+        |fr AS (SELECT md5(seg) AS seg_md5, count(DISTINCT doc_id) AS doc_freq
+        |       FROM segs GROUP BY 1)
+        |SELECT s.doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN f.doc_freq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_no)
+        |    FILTER (WHERE f.doc_freq < 2), '')) AS kept_md5
+        |FROM segs s JOIN fr f ON md5(s.seg) = f.seg_md5
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
+    // smoothed unigram LM score: add-one token probs off the tf aggregate,
+    // per-doc mean of round4'd log-probs accumulated as exact decimals
+    QuerySpec("t15_unigram_lm", TextQueries.t15UnigramLm,
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_corpus,
+        |        count(DISTINCT term) AS vocab FROM tf),
+        |ct AS (SELECT doc_id, tf,
+        |    sum(tf) OVER (PARTITION BY term) AS ctot FROM tf),
+        |sc AS (SELECT doc_id, tf,
+        |    floor(ln((ctot + 1) * 1.0 / (n_corpus + vocab)) * 10000 + 0.5) / 10000 AS lp
+        |  FROM ct, tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  floor(CAST(sum(CAST(tf AS DECIMAL(18,4)) * CAST(lp AS DECIMAL(18,4))) AS DOUBLE)
+        |    / sum(tf) * 10000 + 0.5) / 10000 AS avg_logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // temperature-scaled (alpha = 0.5) language mixture: keep rates
+    // proportional to round4'd sqrt(share), decimal-normalized, membership
+    // by the t6 content hash
+    QuerySpec("t16_temperature_mix", TextQueries.t16TemperatureMix,
+      Some("""WITH ln_ AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang,
+        |    CAST(floor(sqrt(n_docs) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS sw
+        |  FROM ln_),
+        |tot AS (SELECT sum(sw) AS tot_sw FROM w),
+        |r AS (SELECT lang,
+        |    CAST(floor(CAST(sw AS DOUBLE) / CAST(tot_sw AS DOUBLE) * 10000) AS BIGINT) AS rate
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.rate
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // stratified mixture sampling: per-lang keep rates over the t6 hash
     QuerySpec("t13_mixture_sample", TextQueries.t13MixtureSample,
       Some("""SELECT doc_id, lang, source FROM documents

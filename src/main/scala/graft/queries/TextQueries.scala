@@ -411,6 +411,28 @@ object TextQueries {
     graft.operators.TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Cross-doc duplicate-span removal — the C4 boilerplate rule over
+    * 8-token segments (this corpus has no sentence punctuation); see
+    * [[graft.operators.TextOps.spanDedup]] for semantics and plan shape. */
+  def d8SpanDedup(s: SparkSession, d: String): DataFrame =
+    spanDedup(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Smoothed unigram LM quality score — the CCNet/KenLM perplexity
+    * filter's in-plan analog (low = rare-token soup, anomalously high =
+    * stopword padding — both standard cut points); see
+    * [[graft.operators.TextOps.unigramLmScore]]. */
+  def t15UnigramLm(s: SparkSession, d: String): DataFrame =
+    unigramLmScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Temperature-scaled language-mixture sampling (α = 0.5 up-weights
+    * low-resource languages relative to corpus share — XLM-R's rebalancing
+    * step); see [[graft.operators.TextOps.temperatureMix]]. */
+  def t16TemperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMix(Tables.documents(s, d), "doc_id", "lang")
+      .orderBy(col("doc_id"))
+
   /** Exact length quantiles per language (linear interpolation); the
     * distribution-profiling step of corpus QA. Exact `percentile` needs the
     * group's values collected per group — fine for bounded group counts; at
