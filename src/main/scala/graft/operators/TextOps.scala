@@ -295,10 +295,15 @@ object TextOps {
     * dedup: boilerplate lives INSIDE otherwise-unique docs, so no
     * doc-level fingerprint catches it.
     *
-    * Plan at scale: one scan + one segment explode (segments ≈ tokens ∕
-    * segLen); the frequency side reduces DISTINCT (segment, doc) pairs to
-    * segment cardinality before joining back (cardinalities, not
-    * instances — t9's df shape). Reassembly collects only each doc's OWN
+    * Plan at scale: two segment passes over the corpus (recomputing the
+    * explode beats materializing a corpus-sized exploded copy). The
+    * frequency side prunes to (md5, doc_id) at the scan, reduces DISTINCT
+    * pairs to segment cardinality, and — the load-bearing step — keeps
+    * only segments with doc_freq ≥ minDocs before joining back: the join's
+    * build side is bounded by DUPLICATED-boilerplate mass (tiny by
+    * definition — that's what makes it boilerplate), not corpus segment
+    * cardinality, so it stays broadcastable at any corpus size and kept
+    * segments never shuffle. Reassembly collects only each doc's OWN
     * kept segments (doc-sized lists, never a corpus-wide sort), order
     * restored by seg_no. */
   def spanDedup(
@@ -311,21 +316,22 @@ object TextOps {
         i => array_join(slice(col("__t"), i * segLen + 1, lit(segLen)), " "))))
       .select(col("doc_id"), col("pos").cast("int").as("seg_no"),
         col("col").as("seg"))
-    val freq = segs
+    val hot = segs
       .select(md5(col("seg").cast("binary")).as("seg_md5"), col("doc_id"))
       .distinct()
       .groupBy(col("seg_md5"))
       .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
     segs
       .withColumn("seg_md5", md5(col("seg").cast("binary")))
-      .join(freq, "seg_md5")
+      .join(hot, Seq("seg_md5"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segs"),
-        sum(when(col("doc_freq") >= minDocs, 1L).otherwise(0L)).as("n_dropped"),
+        count(col("doc_freq")).as("n_dropped"), // non-null = hot = dropped
         // collect_list skips nulls -> only kept segments survive; the
         // struct sort restores seg_no order
         md5(array_join(transform(
-          array_sort(collect_list(when(col("doc_freq") < minDocs,
+          array_sort(collect_list(when(col("doc_freq").isNull,
             struct(col("seg_no"), col("seg"))))),
           e => e.getField("seg")), " ").cast("binary")).as("kept_md5"))
   }
