@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, Shingles, SimHash16, SimHashSig, VecDot}
+import graft.functions.{MinHashSig, Shingles, SimHash16, SimHashSig, VecArgminCell, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.shingles)
     ext.injectFunction(GraftExtensions.simhashSig)
+    ext.injectFunction(GraftExtensions.vecArgminCell)
   }
 }
 
@@ -33,6 +34,16 @@ object GraftExtensions {
         throw new IllegalArgumentException(
           s"vec_dot requires exactly 2 arguments, got ${children.length}")
       VecDot(children(0), children(1))
+    })
+
+  val vecArgminCell: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_argmin_cell"),
+    new ExpressionInfo(classOf[VecArgminCell].getName, "vec_argmin_cell"),
+    (children: Seq[Expression]) => {
+      if (children.length != 3)
+        throw new IllegalArgumentException(
+          s"vec_argmin_cell requires (vec, self_dot, centroids), got ${children.length} args")
+      VecArgminCell(children(0), children(1), children(2))
     })
 
   val simhash16: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

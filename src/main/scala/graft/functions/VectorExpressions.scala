@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
@@ -435,11 +435,125 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd nearest-centroid argmin — the k-means assignment kernel.
+  *
+  * Input: the vector `v` (array<double>), its precomputed self-dot `dxx`,
+  * and the packed centroid table `cents` (array<struct<cluster:int,
+  * c:array<double>, dcc:double>>, sorted by cluster id). Output:
+  * struct<sq:double, cluster:int> — the minimum squared Euclidean distance
+  * ‖v‖² − 2·v·c + ‖c‖² and its cluster, strict `<` so the LOWEST cluster id
+  * wins ties; an empty centroid table yields (Double.MaxValue, −1).
+  *
+  * Bit-for-bit the same float ops in the same order as the
+  * `functions.aggregate` fold it replaces (left-to-right dot, then
+  * dxx − 2·dot + dcc), so the unrolled-CTE DuckDB oracles keep hashing
+  * identically — but in ONE codegen'd loop instead of an interpreted
+  * higher-order fold whose per-centroid lambda dominates every Lloyd
+  * round's assignment pass.
+  */
+case class VecArgminCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val centsOk = third.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StructType(fields), _)
+        if fields.length == 3 && fields(0).dataType == IntegerType &&
+          fields(1).dataType == ArrayType(DoubleType, false) &&
+          fields(2).dataType == DoubleType => true
+      case ArrayType(org.apache.spark.sql.types.StructType(fields), _)
+        if fields.length == 3 && fields(0).dataType == IntegerType &&
+          fields(1).dataType == ArrayType(DoubleType, true) &&
+          fields(2).dataType == DoubleType => true
+      case _ => false
+    }
+    if (first.dataType == ArrayType(DoubleType, false) ||
+      first.dataType == ArrayType(DoubleType, true)) {
+      if (second.dataType == DoubleType) {
+        if (centsOk) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"vec_argmin_cell needs array<struct<int, array<double>, double>> " +
+            s"centroids, got ${third.dataType.simpleString}")
+      } else TypeCheckResult.TypeCheckFailure(
+        s"vec_argmin_cell needs a double self-dot, got ${second.dataType.simpleString}")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"vec_argmin_cell needs an array<double> vector, got ${first.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sq", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("cluster", IntegerType, nullable = false)))
+  override def prettyName: String = "vec_argmin_cell"
+
+  override def nullSafeEval(v: Any, dxx: Any, cents: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val dx = dxx.asInstanceOf[Double]
+    val cs = cents.asInstanceOf[ArrayData]
+    var bestSq = Double.MaxValue
+    var bestCluster = -1
+    var j = 0
+    while (j < cs.numElements()) {
+      val ct = cs.getStruct(j, 3)
+      val c = ct.getArray(1)
+      val n = math.min(xs.numElements(), c.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += xs.getDouble(i) * c.getDouble(i); i += 1 }
+      val sq = dx - 2.0 * dot + ct.getDouble(2)
+      if (sq < bestSq) { bestSq = sq; bestCluster = ct.getInt(0) }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestSq, bestCluster))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, dxx, cents) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val sq = ctx.freshName("sq")
+      val ct = ctx.freshName("ct")
+      val c = ctx.freshName("c")
+      val bestSq = ctx.freshName("bestSq")
+      val bestCluster = ctx.freshName("bestCluster")
+      s"""
+         |double $bestSq = Double.MAX_VALUE;
+         |int $bestCluster = -1;
+         |for (int $j = 0; $j < $cents.numElements(); $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $ct = $cents.getStruct($j, 3);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $ct.getArray(1);
+         |  int $n = java.lang.Math.min($v.numElements(), $c.numElements());
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $v.getDouble($i) * $c.getDouble($i);
+         |  }
+         |  double $sq = $dxx - 2.0 * $dot + $ct.getDouble(2);
+         |  if ($sq < $bestSq) { $bestSq = $sq; $bestCluster = $ct.getInt(0); }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { java.lang.Double.valueOf($bestSq),
+         |                 java.lang.Integer.valueOf($bestCluster) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): VecArgminCell =
+    copy(newFirst, newSecond, newThird)
+}
+
 object VectorFunctions {
   /** Dot product of two array<double> columns (codegen'd). */
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Nearest-centroid (sq, cluster) over a packed centroid-struct array
+    * (codegen'd; the k-means assignment kernel). */
+  def vec_argmin_cell(v: Column, dxx: Column, cents: Column): Column =
+    GraftColumnBridge.column(VecArgminCell(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(dxx),
+      GraftColumnBridge.expression(cents)))
 
   /** 16-bit SimHash of an array<int> token-hash column (codegen'd). */
   def simhash16(hashes: Column): Column =

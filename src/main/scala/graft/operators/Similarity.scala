@@ -200,18 +200,15 @@ object Similarity {
         .withColumn("dcc", dot(col("c"), col("c")))
         .agg(array_sort(collect_list(
           struct(col("cluster"), col("c"), col("dcc")))).as("cents"))
+    // the argmin is the codegen'd VecArgminCell kernel — same float ops in
+    // the same order as the functions.aggregate fold it replaces (oracle
+    // hashes unchanged; equivalence property-pinned in SimilaritySpec),
+    // but one tight generated loop instead of an interpreted per-centroid
+    // lambda, which dominated every Lloyd round's assignment pass
     def assign(centArr: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(centArr))
-        .withColumn("best", aggregate(
-          col("cents"),
-          struct(lit(Double.MaxValue).as("sq"), lit(-1).as("cluster")),
-          (acc, ct) => {
-            val sq = col("dxx") - lit(2.0) * dot(col("v"), ct.getField("c")) +
-              ct.getField("dcc")
-            when(sq < acc.getField("sq"),
-              struct(sq.as("sq"), ct.getField("cluster").as("cluster")))
-              .otherwise(acc)
-          }))
+        .withColumn("best", graft.functions.VectorFunctions.vec_argmin_cell(
+          col("v"), col("dxx"), col("cents")))
         .select(col("vec_id"), col("v"), col("dxx"),
           col("best").getField("cluster").as("cluster"),
           col("best").getField("sq").as("sq"))

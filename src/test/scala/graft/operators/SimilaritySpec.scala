@@ -81,6 +81,56 @@ class SimilaritySpec extends SparkSpec {
     assert(m.values.forall(c => c >= 0 && c < 3)) // rank labels, not raw ids
   }
 
+  test("VecArgminCell (codegen) equals the HOF fold incl. ties and the empty table") {
+    // random vectors + centroid table; the HOF formulation is the spec
+    val rnd = new scala.util.Random(42)
+    val dims = 8
+    val vecs = (0 until 50)
+      .map(i => (i.toLong, Array.fill(dims)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "v")
+      .withColumn("dxx", graft.functions.VectorFunctions.vec_dot($"v", $"v"))
+    // duplicate centroid (clusters 2 and 3 identical) forces sq ties: the
+    // strict < must keep the LOWER cluster id on both paths
+    val base = Array.fill(dims)(rnd.nextDouble())
+    val cents = Seq(
+      (0, Array.fill(dims)(rnd.nextDouble())),
+      (1, Array.fill(dims)(rnd.nextDouble())),
+      (2, base), (3, base.clone()))
+      .toDF("cluster", "c")
+      .withColumn("dcc", graft.functions.VectorFunctions.vec_dot($"c", $"c"))
+      .agg(array_sort(collect_list(struct($"cluster", $"c", $"dcc"))).as("cents"))
+    val both = vecs.crossJoin(cents)
+      .withColumn("cg",
+        graft.functions.VectorFunctions.vec_argmin_cell($"v", $"dxx", $"cents"))
+      .withColumn("hof", aggregate(
+        $"cents",
+        struct(lit(Double.MaxValue).as("sq"), lit(-1).as("cluster")),
+        (acc, ct) => {
+          val sq = $"dxx" - lit(2.0) *
+            graft.functions.VectorFunctions.vec_dot($"v", ct.getField("c")) +
+            ct.getField("dcc")
+          when(sq < acc.getField("sq"),
+            struct(sq.as("sq"), ct.getField("cluster").as("cluster")))
+            .otherwise(acc)
+        }))
+      .select($"vec_id", $"cg.sq", $"cg.cluster", $"hof.sq", $"hof.cluster")
+      .as[(Long, Double, Int, Double, Int)].collect()
+    both.foreach { case (id, csq, ccl, hsq, hcl) =>
+      assert(csq == hsq && ccl == hcl, s"vec $id: codegen ($csq,$ccl) vs HOF ($hsq,$hcl)")
+    }
+    // ties landed on a duplicated centroid for at least some vector -> the
+    // tie-break path was actually exercised, and 3 never wins over 2
+    assert(both.forall(_._3 != 3))
+    // empty centroid table -> the fold's init value
+    val empty = vecs.limit(1)
+      .withColumn("cents", array().cast(
+        "array<struct<cluster:int,c:array<double>,dcc:double>>"))
+      .select(graft.functions.VectorFunctions
+        .vec_argmin_cell($"v", $"dxx", $"cents").as("r"))
+      .select($"r.sq", $"r.cluster").as[(Double, Int)].head()
+    assert(empty == ((Double.MaxValue, -1)))
+  }
+
   test("multi-probe with nprobe=1 degrades to probing the nearest CENTROID (not the assignment)") {
     val all = corpus()
     val q = all.filter($"vec_id" === 0L)

@@ -75,8 +75,9 @@ class WindowedOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("vec_dot / simhash16 register as SQL functions (GraftExtensions builders)") {
-    Seq(GraftExtensions.vecDot, GraftExtensions.simhash16).foreach {
+  test("vec_dot / simhash16 / vec_argmin_cell register as SQL functions (GraftExtensions builders)") {
+    Seq(GraftExtensions.vecDot, GraftExtensions.simhash16,
+      GraftExtensions.vecArgminCell).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -87,5 +88,12 @@ class WindowedOpsSpec extends SparkSpec {
     // sums stay >= 0 only for the set bits of the single vote
     val sh = spark.sql("SELECT simhash16(array(5)) AS s").as[Int].head()
     assert(sh == 5)
+    // (1,0) against centroids 0=(1,0), 1=(0,1): cluster 0 at sq 0
+    val am = spark.sql(
+      """SELECT vec_argmin_cell(array(1.0D, 0.0D), 1.0D, array(
+        |  named_struct('cluster', 0, 'c', array(1.0D, 0.0D), 'dcc', 1.0D),
+        |  named_struct('cluster', 1, 'c', array(0.0D, 1.0D), 'dcc', 1.0D))) AS r""".stripMargin)
+      .select("r.sq", "r.cluster").as[(Double, Int)].head()
+    assert(am == ((0.0, 0)))
   }
 }
