@@ -266,6 +266,35 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), Relational.round4(col("cos")).as("cos"))
   }
 
+  /** Product quantization — the codebook path that takes ANN storage BELOW
+    * scalar quantization's 4× (e7): the vector splits into `m` contiguous
+    * subspaces, each subspace trains its own k-entry codebook ([[kmeans]]
+    * per slice), and a vector's code is its nearest codebook entry per
+    * subspace — m·log₂(k) bits per vector (m=2, k=8 here: 6 bits vs 2048
+    * for float32/64d), with the per-subspace squared error as the
+    * distortion witness. This is the IVF-PQ memory layout (Jégou et al.
+    * 2011): IVF (e9/e11) coarse-partitions, PQ compresses the residuals'
+    * storage inside each cell.
+    *
+    * Returns scalar rows (vec_id, sub, code, sq). Scale: each subspace is
+    * an independent [[kmeans]] over a SLICED projection — same
+    * scan-stage-assignment / single-exchange-update plan per round, m× in
+    * total but on dims/m-length vectors, so the arithmetic totals the same
+    * as one full-width training; the unions are plan-level (no extra
+    * shuffle — each branch aggregates per doc before the union). */
+  def pqCodes(
+      corpus: DataFrame, m: Int, k: Int, rounds: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val sub = dims / m
+    (0 until m).map { s =>
+      val sliced = corpus.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      kmeans(sliced, k, rounds, sub)._1
+        .select(col("vec_id"), lit(s).as("sub"), col("cluster").as("code"),
+          Relational.round4(col("sq")).as("sq"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Exact embedding dedup at a cosine threshold over LSH-style cells: pairs
     * within the same coarse cell with cosine ≥ threshold. Near-dup detection
     * for embedding-indexed corpora; the cell join bounds the pair blowup.

@@ -81,39 +81,61 @@ object Catalog {
     * assignment carrying its squared distance. Centroids are rounded
     * before any distance math on BOTH engines, so every ranking compares
     * identical doubles. */
-  private def kmeansCtes(k: Int, rounds: Int, dims: Int): String = {
+  /** Unrolled Lloyd-iteration CTE chain; `sfx` suffixes every CTE name so
+    * independent chains compose in one WITH (the PQ oracle runs one chain
+    * per subspace), `vecSql` is the vector expression the chain trains on
+    * (full embedding by default; a list slice per PQ subspace). */
+  private def kmeansCtes(
+      k: Int, rounds: Int, dims: Int,
+      sfx: String = "", vecSql: String = "embedding::DOUBLE[]"): String = {
     val sb = new StringBuilder
-    sb ++= s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS dxx
+    sb ++= s"""v$sfx AS (SELECT vec_id, $vecSql AS v,
+      |    list_dot_product($vecSql, $vecSql) AS dxx
       |  FROM embeddings),
-      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+      |c0$sfx AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
       |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS c
-      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k))""".stripMargin
+      |  FROM (SELECT * FROM v$sfx ORDER BY vec_id LIMIT $k))""".stripMargin
     for (r <- 1 to rounds) {
       sb ++= s""",
-        |a$r AS (SELECT vec_id, v, dxx, cluster FROM (
+        |a$r$sfx AS (SELECT vec_id, v, dxx, cluster FROM (
         |    SELECT v.vec_id, v.v, v.dxx, c.cluster,
         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
         |        v.dxx - 2 * list_dot_product(v.v, c.c) + list_dot_product(c.c, c.c) ASC,
         |        c.cluster ASC) AS rk
-        |    FROM v, c${r - 1} c) t WHERE rk = 1),
-        |m$r AS (SELECT cluster, dim, floor(avg(v[dim]) * 10000 + 0.5) / 10000 AS cd
-        |  FROM a$r, generate_series(1, $dims) AS t(dim) GROUP BY cluster, dim),
-        |c$r AS (SELECT cluster, list(cd ORDER BY dim) AS c FROM m$r GROUP BY cluster)""".stripMargin
+        |    FROM v$sfx v, c${r - 1}$sfx c) t WHERE rk = 1),
+        |m$r$sfx AS (SELECT cluster, dim, floor(avg(v[dim]) * 10000 + 0.5) / 10000 AS cd
+        |  FROM a$r$sfx, generate_series(1, $dims) AS t(dim) GROUP BY cluster, dim),
+        |c$r$sfx AS (SELECT cluster, list(cd ORDER BY dim) AS c FROM m$r$sfx GROUP BY cluster)""".stripMargin
     }
     sb ++= s""",
-      |af AS (SELECT vec_id, cluster, sq FROM (
+      |af$sfx AS (SELECT vec_id, cluster, sq FROM (
       |    SELECT v.vec_id, c.cluster,
       |      v.dxx - 2 * list_dot_product(v.v, c.c) + list_dot_product(c.c, c.c) AS sq,
       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
       |        v.dxx - 2 * list_dot_product(v.v, c.c) + list_dot_product(c.c, c.c) ASC,
       |        c.cluster ASC) AS rk
-      |    FROM v, c$rounds c) t WHERE rk = 1)""".stripMargin
+      |    FROM v$sfx v, c$rounds$sfx c) t WHERE rk = 1)""".stripMargin
     sb.toString
   }
 
   private val kmCtes = kmeansCtes(
     SimilarityQueries.KmeansK, SimilarityQueries.KmeansRounds, 64)
+
+  /** One independent Lloyd chain per PQ subspace, trained on that
+    * subspace's list slice of the embedding. */
+  private val pqCtes: String = {
+    val sub = 64 / SimilarityQueries.PqM
+    (0 until SimilarityQueries.PqM).map { s =>
+      kmeansCtes(SimilarityQueries.PqK, SimilarityQueries.PqRounds, sub,
+        sfx = s"_p$s", vecSql = s"(embedding::DOUBLE[])[${s * sub + 1}:${(s + 1) * sub}]")
+    }.mkString(",\n")
+  }
+
+  private val pqSelect: String =
+    (0 until SimilarityQueries.PqM).map { s =>
+      s"""SELECT vec_id, $s AS sub, cluster AS code,
+         |  floor(sq * 10000 + 0.5) / 10000 AS sq FROM af_p$s""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   // ---------------------------------------------------------------- specs
 
@@ -950,6 +972,14 @@ object Catalog {
     // the Lloyd iteration end-to-end: the oracle replays all three rounds
     // (assignment + rounded means) and must land every vector in the same
     // cluster at the same squared distance
+    // product quantization: one Lloyd chain per subspace slice; codes +
+    // per-subspace squared error, both engines replaying identical rounds
+    QuerySpec("e13_pq_codes", SimilarityQueries.e13PqCodes,
+      Some(s"""WITH $pqCtes
+        |SELECT vec_id, sub, code, sq FROM (
+        |$pqSelect) u
+        |ORDER BY vec_id, sub""".stripMargin)),
+
     QuerySpec("e9_kmeans_assign", SimilarityQueries.e9KmeansAssign,
       Some(s"""WITH $kmCtes
         |SELECT vec_id, cluster, floor(sq * 10000 + 0.5) / 10000 AS sq_dist

@@ -158,6 +158,20 @@ object SimilarityQueries {
       .orderBy(col("q_id"))
   }
 
+  /** PQ geometry shared by the e13 gate and its generated oracle: 2
+    * subspaces of 32 dims, 8-entry codebooks, 2 Lloyd rounds. */
+  val PqM = 2
+  val PqK = 8
+  val PqRounds = 2
+
+  /** Product-quantization codes: per (vector, subspace) the nearest
+    * codebook entry and its squared error — the sub-byte ANN storage path
+    * (see [[graft.operators.Similarity.pqCodes]]). */
+  def e13PqCodes(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.pqCodes(
+      Tables.embeddings(s, d), PqM, PqK, PqRounds, KmeansDims)
+      .orderBy(col("vec_id"), col("sub"))
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles

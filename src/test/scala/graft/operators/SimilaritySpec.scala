@@ -81,6 +81,30 @@ class SimilaritySpec extends SparkSpec {
     assert(m.values.forall(c => c >= 0 && c < 3)) // rank labels, not raw ids
   }
 
+  test("pqCodes learns independent per-subspace structure") {
+    // 4 dims, m=2 subspaces of 2: front half clusters on axis x vs y,
+    // back half on axis z vs w — INDEPENDENTLY of the front (the point of
+    // PQ: the code space is the cross product, here 2x2 patterns from 2+2
+    // codebook entries). Seeds (ids 0, 1) differ in BOTH subspaces.
+    def vec(a: Float, b: Float, c: Float, dd: Float) = Array(a, b, c, dd)
+    val docs = Seq(
+      (0L, vec(1f, 0f, 1f, 0f)), // front A, back A (seed 0)
+      (1L, vec(0f, 1f, 0f, 1f)), // front B, back B (seed 1)
+      (2L, vec(0.9f, 0.1f, 0.1f, 0.9f)), // front A, back B
+      (3L, vec(0.1f, 0.9f, 0.9f, 0.1f)), // front B, back A
+      (4L, vec(0.8f, 0.2f, 0.8f, 0.2f))) // front A, back A
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(docs, m = 2, k = 2, rounds = 2, dims = 4)
+      .select($"vec_id", $"sub", $"code").as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(codes(0L) != codes(1L))
+    assert(codes(0L)(0) == codes(2L)(0) && codes(1L)(0) == codes(3L)(0)) // front halves
+    assert(codes(1L)(1) == codes(2L)(1) && codes(0L)(1) == codes(3L)(1)) // back halves
+    assert(codes(4L) == codes(0L)) // full agreement only when both halves agree
+    // every (vec, sub) coded exactly once
+    assert(codes.values.forall(_.length == 2) && codes.size == 5)
+  }
+
   test("VecArgminCell (codegen) equals the HOF fold incl. ties and the empty table") {
     // random vectors + centroid table; the HOF formulation is the spec
     val rnd = new scala.util.Random(42)
