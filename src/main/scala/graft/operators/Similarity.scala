@@ -283,16 +283,67 @@ object Similarity {
     * as one full-width training; the unions are plan-level (no extra
     * shuffle — each branch aggregates per doc before the union). */
   def pqCodes(
-      corpus: DataFrame, m: Int, k: Int, rounds: Int, dims: Int): DataFrame = {
+      corpus: DataFrame, m: Int, k: Int, rounds: Int, dims: Int): DataFrame =
+    pqModel(corpus, m, k, rounds, dims)._1
+      .select(col("vec_id"), col("sub"), col("code"),
+        Relational.round4(col("sq")).as("sq"))
+
+  /** The trained PQ model behind [[pqCodes]]: (codes, codebooks) —
+    * codes = (vec_id, sub, code, sq raw), codebooks = (sub, cluster, c). */
+  def pqModel(
+      corpus: DataFrame, m: Int, k: Int, rounds: Int, dims: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val sub = dims / m
-    (0 until m).map { s =>
+    val parts = (0 until m).map { s =>
       val sliced = corpus.select(col("vec_id"),
         slice(col("embedding"), s * sub + 1, sub).as("embedding"))
-      kmeans(sliced, k, rounds, sub)._1
-        .select(col("vec_id"), lit(s).as("sub"), col("cluster").as("code"),
-          Relational.round4(col("sq")).as("sq"))
+      val (assigned, centroids) = kmeans(sliced, k, rounds, sub)
+      (assigned.select(col("vec_id"), lit(s).as("sub"),
+        col("cluster").as("code"), col("sq")),
+        centroids.select(lit(s).as("sub"), col("cluster"), col("c")))
+    }
+    (parts.map(_._1).reduce(_ unionAll _), parts.map(_._2).reduce(_ unionAll _))
+  }
+
+  /** PQ search by asymmetric distance computation (ADC, Jégou et al. 2011
+    * §III): the query stays UNquantized; its squared distance to every
+    * codebook entry is tabulated once (the lookup table — m·k rows per
+    * query), and a corpus vector's approximate distance is the sum of its
+    * m codes' table entries. The scan side never touches float vectors —
+    * only (sub, code) ints against a broadcast LUT — which is the entire
+    * point of PQ at 100 TB: the index is codes, not vectors.
+    *
+    * Per-subspace partials are display-rounded then decimal-summed
+    * (order-independent, oracle-exact); ranking is (adc asc, n_id asc).
+    * Scale: the LUT is |queries|·m·k rows — broadcast; the corpus side is
+    * one scan of the code table + one per-query top-k window; nothing is
+    * ever |corpus|×|queries| floats. */
+  def pqAdcSearch(
+      corpus: DataFrame, queries: DataFrame,
+      m: Int, k: Int, rounds: Int, dims: Int, topK: Int): DataFrame = {
+    val subLen = dims / m
+    val (codes, books) = pqModel(corpus, m, k, rounds, dims)
+    val qSub = (0 until m).map { s =>
+      queries.select(col("vec_id").as("q_id"),
+        slice(col("embedding"), s * subLen + 1, subLen)
+          .cast("array<double>").as("qe"), lit(s).as("sub"))
     }.reduce(_ unionAll _)
+    val lut = qSub
+      .join(books.withColumn("dcc", dot(col("c"), col("c"))), "sub")
+      .select(col("q_id"), col("sub"), col("cluster").as("code"),
+        Relational.round4(dot(col("qe"), col("qe"))
+          - lit(2.0) * dot(col("qe"), col("c")) + col("dcc"))
+          .cast("decimal(18,4)").as("part"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("part"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("part")).cast("double").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
   }
 
   /** Exact embedding dedup at a cosine threshold over LSH-style cells: pairs

@@ -980,6 +980,43 @@ object Catalog {
         |$pqSelect) u
         |ORDER BY vec_id, sub""".stripMargin)),
 
+    // ADC search over the PQ codes: per-query LUT against the trained
+    // codebooks, code-only corpus scan, decimal-summed rounded partials
+    QuerySpec("e14_adc_search", SimilarityQueries.e14AdcSearch,
+      Some {
+        val m = SimilarityQueries.PqM
+        val r = SimilarityQueries.PqRounds
+        val sub = 64 / m
+        val books = (0 until m).map(s =>
+          s"SELECT $s AS sub, cluster, c FROM c${r}_p$s").mkString("\n  UNION ALL ")
+        val qs = (0 until m).map(s =>
+          s"""SELECT vec_id AS q_id, $s AS sub,
+             |    (embedding::DOUBLE[])[${s * sub + 1}:${(s + 1) * sub}] AS qe
+             |  FROM embeddings WHERE vec_id < 10""".stripMargin)
+          .mkString("\n  UNION ALL ")
+        val codes = (0 until m).map(s =>
+          s"SELECT vec_id, $s AS sub, cluster AS code FROM af_p$s").mkString("\n  UNION ALL ")
+        s"""WITH $pqCtes,
+          |books AS (
+          |  $books),
+          |qs AS (
+          |  $qs),
+          |lut AS (SELECT q_id, sub, cluster AS code,
+          |    CAST(floor((list_dot_product(qe, qe) - 2 * list_dot_product(qe, c)
+          |      + list_dot_product(c, c)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS part
+          |  FROM qs JOIN books USING (sub)),
+          |codes AS (
+          |  $codes),
+          |sc AS (SELECT l.q_id, cd.vec_id AS n_id, CAST(sum(l.part) AS DOUBLE) AS adc
+          |  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+          |  WHERE l.q_id <> cd.vec_id GROUP BY 1, 2),
+          |r AS (SELECT q_id, n_id, adc,
+          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS INT) AS rank
+          |  FROM sc)
+          |SELECT q_id, n_id, rank, adc FROM r WHERE rank <= 5
+          |ORDER BY q_id, rank""".stripMargin
+      }),
+
     QuerySpec("e9_kmeans_assign", SimilarityQueries.e9KmeansAssign,
       Some(s"""WITH $kmCtes
         |SELECT vec_id, cluster, floor(sq * 10000 + 0.5) / 10000 AS sq_dist

@@ -172,6 +172,14 @@ object SimilarityQueries {
       Tables.embeddings(s, d), PqM, PqK, PqRounds, KmeansDims)
       .orderBy(col("vec_id"), col("sub"))
 
+  /** PQ-ADC top-5 search: the query scores the whole corpus through its
+    * codebook lookup table — the code-only scan that makes PQ an INDEX,
+    * not just compression (see [[graft.operators.Similarity.pqAdcSearch]]). */
+  def e14AdcSearch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.pqAdcSearch(
+      Tables.embeddings(s, d), queriesSide(s, d), PqM, PqK, PqRounds, KmeansDims, 5)
+      .orderBy(col("q_id"), col("rank"))
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles

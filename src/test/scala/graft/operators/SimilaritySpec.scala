@@ -105,6 +105,27 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.values.forall(_.length == 2) && codes.size == 5)
   }
 
+  test("pqAdcSearch ranks by shared-code count on the planted corpus") {
+    def vec(a: Float, b: Float, c: Float, dd: Float) = Array(a, b, c, dd)
+    val docs = Seq(
+      (0L, vec(1f, 0f, 1f, 0f)),
+      (1L, vec(0f, 1f, 0f, 1f)),
+      (2L, vec(0.9f, 0.1f, 0.1f, 0.9f)), // shares 0's FRONT code only
+      (3L, vec(0.1f, 0.9f, 0.9f, 0.1f)), // shares 0's BACK code only
+      (4L, vec(0.8f, 0.2f, 0.8f, 0.2f))) // shares BOTH of 0's codes
+      .toDF("vec_id", "embedding")
+    val q = docs.filter($"vec_id" === 0L)
+    val r = Similarity.pqAdcSearch(docs, q, m = 2, k = 2, rounds = 2, dims = 4, topK = 4)
+      .orderBy($"rank").as[(Long, Long, Int, Double)].collect()
+    // ADC distance is a pure function of the neighbor's CODES: the
+    // both-codes-match vector must rank first, the no-match vector last
+    assert(r.head._2 == 4L, s"both-codes match should rank 1st: ${r.toSeq}")
+    assert(r.last._2 == 1L, s"no-code match should rank last: ${r.toSeq}")
+    assert(r.map(_._4).toSeq == r.map(_._4).sorted.toSeq) // adc ascending
+    // 2 and 3 (one shared code each) sit strictly between
+    assert(Set(r(1)._2, r(2)._2) == Set(2L, 3L))
+  }
+
   test("VecArgminCell (codegen) equals the HOF fold incl. ties and the empty table") {
     // random vectors + centroid table; the HOF formulation is the spec
     val rnd = new scala.util.Random(42)
