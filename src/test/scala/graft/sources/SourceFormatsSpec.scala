@@ -63,6 +63,42 @@ class SourceFormatsSpec extends SparkSpec {
     assert(a == b, "CSV round-trip corrupted rows")
   }
 
+  test("ORC round-trip preserves every row and value") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(docSchema).orc(dir)
+    assert(back.count() == docs.count())
+    val a = docs.select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    val b = back.select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "text fidelity lost through ORC")
+  }
+
+  test("hive-partitioned parquet layout prunes partitions at the scan") {
+    // THE 100 TB table layout: partitionBy a low-cardinality routing column
+    // so a filtered read touches only matching directories. Asserts the
+    // pruning physically (files read), not just semantically.
+    val dir = Files.createTempDirectory("graft_part").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val en = back.filter($"lang" === "en")
+    // value fidelity for the pruned slice
+    val expected = docs.filter($"lang" === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(en.select($"doc_id").as[Long].collect().toSet == expected)
+    // physical pruning: input_file_name() reports the files EXECUTION
+    // actually read — all must sit under lang=en, while the unfiltered
+    // layout demonstrably holds other langs
+    val allFiles = back.select(input_file_name()).distinct().as[String].collect()
+    assert(allFiles.exists(!_.contains("lang=en")), "layout should have other langs")
+    val scanned = en.select(input_file_name()).distinct().as[String].collect()
+    assert(scanned.nonEmpty && scanned.forall(_.contains("lang=en")),
+      s"partition pruning failed: scanned ${scanned.toSeq}")
+  }
+
   test("malformed JSON lines isolate into the corrupt-record column, not a job failure") {
     val dir = Files.createTempDirectory("graft_bad").toString
     Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
