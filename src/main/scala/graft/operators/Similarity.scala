@@ -280,8 +280,8 @@ object Similarity {
     * an independent [[kmeans]] over a SLICED projection — same
     * scan-stage-assignment / single-exchange-update plan per round, m× in
     * total but on dims/m-length vectors, so the arithmetic totals the same
-    * as one full-width training; the unions are plan-level (no extra
-    * shuffle — each branch aggregates per doc before the union). */
+    * as one full-width training; the union of the per-subspace assignment
+    * projections adds no shuffle of its own. */
   def pqCodes(
       corpus: DataFrame, m: Int, k: Int, rounds: Int, dims: Int): DataFrame =
     pqModel(corpus, m, k, rounds, dims)._1
@@ -309,9 +309,11 @@ object Similarity {
     * §III): the query stays UNquantized; its squared distance to every
     * codebook entry is tabulated once (the lookup table — m·k rows per
     * query), and a corpus vector's approximate distance is the sum of its
-    * m codes' table entries. The scan side never touches float vectors —
+    * m codes' table entries. The scoring scan never touches float vectors —
     * only (sub, code) ints against a broadcast LUT — which is the entire
-    * point of PQ at 100 TB: the index is codes, not vectors.
+    * point of PQ at 100 TB: the index is codes, not vectors (here the
+    * codes are trained in the same plan for gate self-containment; a
+    * production index stores them once and pays only the scoring scan).
     *
     * Per-subspace partials are display-rounded then decimal-summed
     * (order-independent, oracle-exact); ranking is (adc asc, n_id asc).

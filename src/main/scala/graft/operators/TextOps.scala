@@ -302,10 +302,10 @@ object TextOps {
     * only segments with doc_freq ≥ minDocs before joining back: the join's
     * build side is bounded by DUPLICATED-boilerplate mass (tiny by
     * definition — that's what makes it boilerplate), not corpus segment
-    * cardinality, so it stays broadcastable at any corpus size and kept
-    * segments never shuffle. Reassembly collects only each doc's OWN
-    * kept segments (doc-sized lists, never a corpus-wide sort), order
-    * restored by seg_no. */
+    * cardinality, so the join stays map-side at any corpus size. The one
+    * segment-bearing shuffle is the per-doc reassembly aggregate (each
+    * doc's own segments to its reducer, partially collected map-side);
+    * order restored by seg_no — never a corpus-wide sort. */
   def spanDedup(
       docs: DataFrame, idCol: String, textCol: String,
       segLen: Int = 8, minDocs: Int = 2): DataFrame = {
@@ -344,7 +344,8 @@ object TextOps {
     * avg_logprob).
     *
     * One explode feeds the (doc, term) tf aggregate; per-term corpus
-    * counts are a window over tf (term cardinality, not token instances);
+    * counts are a window over tf (distinct (doc, term) pairs shuffle, not
+    * token instances);
     * corpus mass + vocab size are a 1-row broadcast off the same frame.
     * Per-token log-probs are display-rounded then accumulated as exact
     * decimals — the per-doc mean is order-independent under any
