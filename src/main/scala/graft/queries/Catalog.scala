@@ -827,6 +827,72 @@ object Catalog {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.rate
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // the preparation composition: t14's rule gate -> t16's temperature
+    // rates RECOMPUTED over the kept corpus -> c2 chunking of the sampled
+    // docs -> c3 packing -> per-lang yield; zero-fill when a lang loses
+    // every doc. Each fragment is verbatim its stand-alone oracle's.
+    QuerySpec("c4_training_mix", TextQueries.c4TrainingMix,
+      Some("""WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS chars,
+        |    CAST(len(list_filter(tk,
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS sw_hits,
+        |    list_transform(generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1]) AS g2
+        |  FROM t),
+        |c AS (SELECT doc_id, lang, n_tokens, sw_hits,
+        |    floor(chars * 1.0 / n_tokens * 10000 + 0.5) / 10000 AS mwl,
+        |    len(g2) AS n2, len(list_distinct(g2)) AS d2 FROM b),
+        |kept AS (SELECT doc_id, lang FROM c
+        |  WHERE n_tokens >= 40 AND mwl >= 3.0 AND mwl <= 5.0
+        |    AND (CASE WHEN n2 > 0
+        |      THEN floor((1 - d2 * 1.0 / n2) * 10000 + 0.5) / 10000
+        |      ELSE 0.0 END) <= 0.05
+        |    AND sw_hits >= 2),
+        |ln_ AS (SELECT lang, count(*) AS n_docs FROM kept GROUP BY lang),
+        |wgt AS (SELECT lang,
+        |    CAST(floor(sqrt(n_docs) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS sw
+        |  FROM ln_),
+        |tot AS (SELECT sum(sw) AS tot_sw FROM wgt),
+        |rt AS (SELECT lang,
+        |    CAST(floor(CAST(sw AS DOUBLE) / CAST(tot_sw AS DOUBLE) * 10000) AS BIGINT) AS rate
+        |  FROM wgt, tot),
+        |samp AS (SELECT k.doc_id, k.lang FROM kept k JOIN rt USING (lang)
+        |  WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < rt.rate),
+        |tk2 AS (SELECT t.doc_id, t.tk AS tkn, len(t.tk) AS n
+        |  FROM t JOIN samp ON t.doc_id = samp.doc_id),
+        |ck0 AS (SELECT doc_id, tkn, n,
+        |    unnest(generate_series(0, CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS i
+        |  FROM tk2),
+        |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_no,
+        |    CAST(len(list_transform(generate_series(i * 24 + 1, least(i * 24 + 32, n)), j -> tkn[j])) AS BIGINT) AS n_tokens
+        |  FROM ck0),
+        |j AS (SELECT ch.doc_id, ch.chunk_no, ch.n_tokens, samp.lang,
+        |    CAST(ch.doc_id % 8 AS INT) AS shard
+        |  FROM ch JOIN samp ON ch.doc_id = samp.doc_id),
+        |cw AS (SELECT lang, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id, chunk_no
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM j),
+        |pk AS (SELECT lang, shard,
+        |    CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id, n_tokens FROM cw),
+        |ps AS (SELECT lang, count(*) AS n_chunks,
+        |    count(DISTINCT CAST(shard AS VARCHAR) || ':' || CAST(pack_id AS VARCHAR)) AS n_packs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens_packed
+        |  FROM pk GROUP BY lang),
+        |di AS (SELECT lang, count(*) AS docs_in FROM documents GROUP BY lang),
+        |dk AS (SELECT lang, count(*) AS docs_kept FROM kept GROUP BY lang),
+        |ds AS (SELECT lang, count(*) AS docs_sampled FROM samp GROUP BY lang)
+        |SELECT di.lang, di.docs_in,
+        |  coalesce(dk.docs_kept, 0) AS docs_kept,
+        |  coalesce(ds.docs_sampled, 0) AS docs_sampled,
+        |  coalesce(ps.n_chunks, 0) AS n_chunks,
+        |  coalesce(ps.n_packs, 0) AS n_packs,
+        |  coalesce(ps.tokens_packed, 0) AS tokens_packed
+        |FROM di LEFT JOIN dk USING (lang) LEFT JOIN ds USING (lang)
+        |  LEFT JOIN ps USING (lang)
+        |ORDER BY lang""".stripMargin)),
+
     // stratified mixture sampling: per-lang keep rates over the t6 hash
     QuerySpec("t13_mixture_sample", TextQueries.t13MixtureSample,
       Some("""SELECT doc_id, lang, source FROM documents

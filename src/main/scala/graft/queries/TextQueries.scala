@@ -433,6 +433,53 @@ object TextQueries {
     temperatureMix(Tables.documents(s, d), "doc_id", "lang")
       .orderBy(col("doc_id"))
 
+  /** The training-data PREPARATION pipeline composed end-to-end — c1's
+    * counterpart on the other side of cleaning: Gopher rule gate (t14) →
+    * temperature-scaled language rebalancing over the kept corpus (t16's
+    * α = 0.5 rates, recomputed on the post-filter masses) → context-window
+    * chunking (c2) → sequence packing (c3) → per-language yield stats with
+    * every stage's survivor count. Each stage is individually
+    * oracle-proven; this row proves the COMPOSITION (rates derived from
+    * the filtered corpus, chunking only the sampled docs, packing within
+    * (lang, shard), zero-fill for languages that lose every doc). */
+  def c4TrainingMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = docs.join(
+      gopherRules(docs, "doc_id", "text").filter(col("keep"))
+        .select(col("doc_id")),
+      "doc_id")
+    val sampled = temperatureMix(kept, "doc_id", "lang")
+      .select(col("doc_id"), col("lang"))
+    val chunks = chunkTokens(
+      docs.join(sampled.select(col("doc_id")), "doc_id"), "doc_id", "text",
+      chunkSize = 32, overlap = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+    val packed = chunks
+      .join(sampled, "doc_id")
+      .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr("(cum - n_tokens) div 512"))
+    val packStats = packed.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("shard"), col("pack_id")).as("n_packs"),
+        sum(col("n_tokens")).as("tokens_packed"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("docs_in"))
+      .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("docs_kept")),
+        Seq("lang"), "left")
+      .join(sampled.groupBy(col("lang")).agg(count(lit(1)).as("docs_sampled")),
+        Seq("lang"), "left")
+      .join(packStats, Seq("lang"), "left")
+      .select(col("lang"), col("docs_in"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("docs_sampled"), lit(0L)).as("docs_sampled"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+        coalesce(col("tokens_packed"), lit(0L)).as("tokens_packed"))
+      .orderBy(col("lang"))
+  }
+
   /** Exact length quantiles per language (linear interpolation); the
     * distribution-profiling step of corpus QA. Exact `percentile` needs the
     * group's values collected per group — fine for bounded group counts; at

@@ -21,7 +21,7 @@ class CacheLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
     val sharing = Seq("d2_minhash_pairs", "d3_jaccard_dupes", "d5_simhash_pairs",
       "d6_dup_clusters", "c1_corpus_pipeline", "t9_tfidf", "x4_small_qty_revenue",
-      "e9_kmeans_assign")
+      "e9_kmeans_assign", "e13_pq_codes", "e14_adc_search", "a9_cms_topk")
     for (name <- sharing) {
       Catalog.queries(name)(spark, dir).collect()
       assert(spark.sharedState.cacheManager.isEmpty,
