@@ -78,6 +78,52 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(out(0)._3 > out(1)._3)
   }
 
+  test("spanDedup equals a naive reference on random small-vocab corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = (1L to 40L).map(id =>
+      (id, Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val segLen = 2
+    val segsOf = (t: String) =>
+      t.split(" ").grouped(segLen).map(_.mkString(" ")).toSeq
+    val freq = docs.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    val expected = docs.map { case (id, t) =>
+      val ss = segsOf(t)
+      (id, ss.size.toLong, ss.count(freq(_) >= 2).toLong,
+        md5hex(ss.filter(freq(_) < 2).mkString(" ")))
+    }.toSet
+    val got = TextOps.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+      segLen = segLen, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("unigramLmScore equals a naive reference on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("x", "y", "z", "w", "v")
+    val docs = (1L to 30L).map(id =>
+      (id, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val all = docs.flatMap(_._2.split(" "))
+    val n = all.size
+    val counts = all.groupBy(identity).view.mapValues(_.size).toMap
+    val denom = (n + counts.size).toDouble
+    def lp(t: String) = math.floor(math.log((counts(t) + 1) / denom) * 10000 + 0.5) / 10000
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ").toSeq
+      // BigDecimal accumulation mirrors the operator's exact decimal sum
+      val s = toks.map(tok => BigDecimal(lp(tok))).sum
+      (id, toks.size.toLong,
+        math.floor(s.toDouble / toks.size * 10000 + 0.5) / 10000)
+    }.toSet
+    val got = TextOps.unigramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+  }
+
   // ------------------------------------------------------- temperatureMix
 
   test("temperatureMix rates follow sqrt weights and membership is the stable hash") {
