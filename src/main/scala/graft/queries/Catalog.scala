@@ -905,6 +905,19 @@ object Catalog {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
         |ORDER BY doc_id""".stripMargin)),
 
+    // winsorization: per-lang [p5, p95] clamp of n_chars; the clamp runs
+    // on round4'd interpolated bounds so both engines clip identically
+    QuerySpec("t17_winsorize", TextQueries.t17Winsorize,
+      Some("""WITH b AS (SELECT lang,
+        |    floor(quantile_cont(n_chars, 0.05) * 10000 + 0.5) / 10000 AS lo,
+        |    floor(quantile_cont(n_chars, 0.95) * 10000 + 0.5) / 10000 AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  greatest(b.lo, least(b.hi, d.n_chars * 1.0)) AS clamped,
+        |  (d.n_chars < b.lo OR d.n_chars > b.hi) AS clipped
+        |FROM documents d JOIN b USING (lang)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     QuerySpec("t7_length_quantiles", TextQueries.t7LengthQuantiles,
       Some("""SELECT lang,
         |  floor(quantile_cont(n_chars, 0.5) * 10000 + 0.5) / 10000 AS p50,

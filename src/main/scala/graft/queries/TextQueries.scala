@@ -480,6 +480,29 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Per-language winsorization of `n_chars` at [p5, p95] — the outlier-
+    * clipping step a numeric training signal gets before use (reward
+    * clipping, length normalization). The percentile bounds are one
+    * per-group aggregate (t7's exact-percentile idiom, round4'd for
+    * engine-identical lerp) broadcast back over the corpus; the clamp is
+    * scan-stage least/greatest. At unbounded group cardinality the bounds
+    * switch to approx_percentile — same join/clamp plan. */
+  def t17Winsorize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bounds = docs.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, array(0.05D, 0.95D))").as("__q"))
+      .select(col("lang"),
+        graft.operators.Relational.round4(element_at(col("__q"), 1)).as("lo"),
+        graft.operators.Relational.round4(element_at(col("__q"), 2)).as("hi"))
+    docs
+      .join(broadcast(bounds), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        greatest(col("lo"), least(col("hi"), col("n_chars").cast("double")))
+          .as("clamped"),
+        (col("n_chars") < col("lo") || col("n_chars") > col("hi")).as("clipped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact length quantiles per language (linear interpolation); the
     * distribution-profiling step of corpus QA. Exact `percentile` needs the
     * group's values collected per group — fine for bounded group counts; at
