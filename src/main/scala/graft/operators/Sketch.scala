@@ -65,4 +65,38 @@ object Sketch {
       .groupBy(col(keyCol))
       .agg(min(col("cell")).as("est"))
   }
+
+  /** Bloom filter over a key set, materialized as the DataFrame of its SET
+    * bit positions (≤ m rows of one long each — broadcastable at any build
+    * cardinality worth filtering with). Same md5 → universal-hash family as
+    * the CMS grid, so the bit set is deterministic integer math and
+    * oracle-reproducible. The set is a distinct-union aggregate: map-side
+    * partials combine, the shuffle carries at most m rows per task. */
+  def bloomBits(keys: DataFrame, keyCol: String, m: Int): DataFrame = {
+    val withH = keys.withColumn("__h", baseHash(col(keyCol)))
+    CmsHashes.indices.map { j =>
+      withH.select(bucketOf(col("__h"), j, m).as("pos"))
+    }.reduce(_ unionAll _).distinct()
+  }
+
+  /** Probe keys against a bloom bit set: (key, maybe). `maybe` is true iff
+    * ALL depth positions are set — no false negatives ever; false-positive
+    * rate ≈ (1 − e^(−depth·n/m))^depth. This is the 100 TB semi-join
+    * pruning idiom: build the bits from the small side's join keys, then
+    * drop fact rows with maybe = false BEFORE their shuffle — the filter is
+    * a broadcast join against ≤ m rows plus a scan-stage hash, so the
+    * pruned rows never leave their input partition. (Spark's own runtime
+    * bloom pushdown does this opaquely; this one is explicit, mergeable,
+    * and cross-engine checkable.) */
+  def bloomMaybe(
+      probe: DataFrame, keyCol: String, bits: DataFrame, m: Int): DataFrame = {
+    val withH = probe.withColumn("__h", baseHash(col(keyCol)))
+    val probes = CmsHashes.indices.map { j =>
+      withH.select(col(keyCol), bucketOf(col("__h"), j, m).as("pos"))
+    }.reduce(_ unionAll _)
+    probes
+      .join(broadcast(bits.withColumn("__set", lit(1))), Seq("pos"), "left")
+      .groupBy(col(keyCol))
+      .agg((count(col("__set")) === lit(CmsHashes.length)).as("maybe"))
+  }
 }

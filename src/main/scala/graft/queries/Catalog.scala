@@ -393,6 +393,30 @@ object Catalog {
         |FROM pu JOIN est USING (user_id)
         |ORDER BY est_n DESC, user_id LIMIT 10""".stripMargin)),
 
+    // bloom semi-join pruning: both engines recompute the identical bit
+    // set (same md5 → universal-hash integer math as the CMS grid), so the
+    // hash compare pins no-false-negatives AND the exact false-positive
+    // pattern of the 1024-bit filter
+    QuerySpec("a10_bloom_prune", RelationalQueries.a10BloomPrune,
+      Some("""WITH build AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |hb AS (SELECT c_custkey,
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS hh
+        |  FROM build),
+        |bits AS (SELECT DISTINCT ((hh * a + b) % 2147483647) % 1024 AS pos
+        |  FROM hb, (VALUES (31, 7), (37, 11), (41, 13), (43, 17)) AS t(a, b)),
+        |probe AS (SELECT DISTINCT o_custkey FROM orders),
+        |hp AS (SELECT o_custkey,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS hh
+        |  FROM probe),
+        |pp AS (SELECT o_custkey, ((hh * a + b) % 2147483647) % 1024 AS pos
+        |  FROM hp, (VALUES (31, 7), (37, 11), (41, 13), (43, 17)) AS t(a, b)),
+        |flags AS (SELECT o_custkey, count(b.pos) = 4 AS maybe
+        |  FROM pp LEFT JOIN bits b USING (pos) GROUP BY o_custkey)
+        |SELECT f.o_custkey AS custkey, f.maybe,
+        |  f.o_custkey IN (SELECT c_custkey FROM build) AS actual
+        |FROM flags f ORDER BY custkey""".stripMargin)),
+
     QuerySpec("x2_pivot_counts", RelationalQueries.x2PivotCounts,
       Some("""SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -433,6 +433,31 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** Bloom-filter semi-join pruning (a9's membership sibling): build a
+    * 1024-bit / 4-hash bloom over BUILDING-segment customer keys, probe
+    * every ordering customer against it, and emit (maybe, actual) side by
+    * side. The gate pins BOTH bloom invariants per key: no false negatives
+    * (actual → maybe, checked by the oracle recomputing identical bits) and
+    * genuine false positives (1024 bits over ~300 keys ⇒ ~23% FP pressure
+    * at sf0.01, so `maybe` is visibly NOT `actual`). At 100 TB this is the
+    * shuffle-avoidance idiom: the bit set broadcasts (≤ m rows), the probe
+    * is scan-stage, and fact rows with maybe = false are dropped before
+    * their exchange. See [[graft.operators.Sketch.bloomMaybe]]. */
+  def a10BloomPrune(s: SparkSession, d: String): DataFrame = {
+    val m = 1024
+    val build = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bits = graft.operators.Sketch.bloomBits(build, "c_custkey", m)
+    val probe = Tables.orders(s, d).select(col("o_custkey")).distinct()
+    graft.operators.Sketch.bloomMaybe(probe, "o_custkey", bits, m)
+      .join(build.withColumn("__in", lit(true)),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_custkey").as("custkey"), col("maybe"),
+        coalesce(col("__in"), lit(false)).as("actual"))
+      .orderBy(col("custkey"))
+  }
+
   /** Pivot (beyond the reference): per-user event-type counts as columns.
     * Explicit pivot values keep the plan single-pass (no distinct-values
     * pre-query) — the right call at scale where the domain is known. */

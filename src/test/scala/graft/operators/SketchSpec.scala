@@ -26,6 +26,33 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bloom: no false negatives at any width; no false positives when wide") {
+    val members = keyed.select($"k")
+    val outsiders = Seq("z1", "z2", "z3", "z4", "z5").toDF("k")
+    for (m <- Seq(4, 65536)) {
+      val bits = Sketch.bloomBits(members, "k", m)
+      val flags = Sketch.bloomMaybe(members.unionAll(outsiders), "k", bits, m)
+        .as[(String, Boolean)].collect().toMap
+      keyed.select($"k").as[String].collect().foreach { k =>
+        assert(flags(k), s"m=$m member $k not maybe — bloom false negative")
+      }
+      if (m == 65536)
+        Seq("z1", "z2", "z3", "z4", "z5").foreach { k =>
+          assert(!flags(k), s"m=$m outsider $k flagged maybe at sparse width")
+        }
+    }
+  }
+
+  test("bloom bit sets merge by distinct union") {
+    val m = 16
+    val left = Sketch.bloomBits(keyed.filter($"k" <= "u2").select($"k"), "k", m)
+    val right = Sketch.bloomBits(keyed.filter($"k" > "u2").select($"k"), "k", m)
+    val merged = left.unionAll(right).distinct()
+    val whole = Sketch.bloomBits(keyed.select($"k"), "k", m)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged bit set differs from whole-input bit set")
+  }
+
   test("grids merge by cell-wise addition") {
     val width = 8
     val left = Sketch.cmsGrid(keyed.filter($"k" <= "u2"), "k", "n", width)
