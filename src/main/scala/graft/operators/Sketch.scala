@@ -67,36 +67,51 @@ object Sketch {
   }
 
   /** Bloom filter over a key set, materialized as the DataFrame of its SET
-    * bit positions (≤ m rows of one long each — broadcastable at any build
-    * cardinality worth filtering with). Same md5 → universal-hash family as
-    * the CMS grid, so the bit set is deterministic integer math and
-    * oracle-reproducible. The set is a distinct-union aggregate: map-side
-    * partials combine, the shuffle carries at most m rows per task. */
+    * bit positions (≤ m rows of one long each). Same md5 → universal-hash
+    * family as the CMS grid, so the bit set is deterministic integer math
+    * and oracle-reproducible. ONE scan: the depth positions explode from an
+    * array in the scan stage; the distinct is a mergeable set-union
+    * aggregate whose shuffle carries at most m rows per task regardless of
+    * build cardinality. Bit sets of corpus shards merge by distinct union
+    * (pinned in `SketchSpec`). */
   def bloomBits(keys: DataFrame, keyCol: String, m: Int): DataFrame = {
     val withH = keys.withColumn("__h", baseHash(col(keyCol)))
-    CmsHashes.indices.map { j =>
-      withH.select(bucketOf(col("__h"), j, m).as("pos"))
-    }.reduce(_ unionAll _).distinct()
+    withH
+      .select(explode(array(
+        CmsHashes.indices.map(j => bucketOf(col("__h"), j, m)): _*)).as("pos"))
+      .distinct()
   }
 
-  /** Probe keys against a bloom bit set: (key, maybe). `maybe` is true iff
-    * ALL depth positions are set — no false negatives ever; false-positive
-    * rate ≈ (1 − e^(−depth·n/m))^depth. This is the 100 TB semi-join
-    * pruning idiom: build the bits from the small side's join keys, then
-    * drop fact rows with maybe = false BEFORE their shuffle — the filter is
-    * a broadcast join against ≤ m rows plus a scan-stage hash, so the
-    * pruned rows never leave their input partition. (Spark's own runtime
-    * bloom pushdown does this opaquely; this one is explicit, mergeable,
-    * and cross-engine checkable.) */
+  /** Probe rows against a bloom bit set: all probe columns plus `maybe`,
+    * true iff ALL depth positions are set — no false negatives ever;
+    * false-positive rate ≈ (1 − e^(−depth·n/m))^depth. The bit set is
+    * packed into a single-row word map (m/64 longs) and broadcast, so the
+    * membership test is pure scan-stage bit arithmetic: NO probe-side
+    * shuffle, no per-probe join fan-out. That is the 100 TB semi-join
+    * pruning idiom — build the bits from the small side's join keys, drop
+    * fact rows with maybe = false BEFORE their exchange; pruned rows never
+    * leave their input partition. (Spark's runtime bloom pushdown does this
+    * opaquely; this one is explicit, mergeable, and cross-engine
+    * checkable.) */
   def bloomMaybe(
       probe: DataFrame, keyCol: String, bits: DataFrame, m: Int): DataFrame = {
-    val withH = probe.withColumn("__h", baseHash(col(keyCol)))
-    val probes = CmsHashes.indices.map { j =>
-      withH.select(col(keyCol), bucketOf(col("__h"), j, m).as("pos"))
-    }.reduce(_ unionAll _)
-    probes
-      .join(broadcast(bits.withColumn("__set", lit(1))), Seq("pos"), "left")
-      .groupBy(col(keyCol))
-      .agg((count(col("__set")) === lit(CmsHashes.length)).as("maybe"))
+    val word = call_function("shiftleft", lit(1L),
+      pmod(col("pos"), lit(64)).cast("int"))
+    val bitmap = bits
+      .groupBy(floor(col("pos") / 64).cast("int").as("__w"))
+      .agg(bit_or(word).as("__word"))
+      .groupBy()
+      .agg(map_from_arrays(
+        collect_list(col("__w")), collect_list(col("__word"))).as("__bm"))
+    val h = baseHash(col(keyCol))
+    val tests = CmsHashes.indices.map { j =>
+      val pos = bucketOf(h, j, m)
+      coalesce(element_at(col("__bm"), floor(pos / 64).cast("int")), lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(pos, lit(64)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+    probe
+      .crossJoin(broadcast(bitmap))
+      .select(probe.columns.map(col) :+ tests.as("maybe"): _*)
   }
 }
