@@ -53,6 +53,24 @@ class SketchSpec extends SparkSpec {
       "merged bit set differs from whole-input bit set")
   }
 
+  test("bloom pruning before a join preserves the join result exactly") {
+    // the semi-join pruning contract: FPs survive the prune but die in the
+    // join; no-false-negatives means nothing real is lost — so prune + join
+    // must equal plain join at ANY filter width (even a saturated 4-bit one)
+    val dim = Seq(("u1", "US"), ("u3", "DE")).toDF("k", "geo")
+    val fact = (keyed.select($"k") unionAll
+      Seq("z1", "z2", "z3").toDF("k")).withColumn("v", length($"k"))
+    for (m <- Seq(4, 1024)) {
+      val bits = Sketch.bloomBits(dim.select($"k"), "k", m)
+      val pruned = Sketch.bloomMaybe(fact, "k", bits, m)
+        .filter($"maybe").drop("maybe")
+      val viaPrune = pruned.join(dim, "k")
+      val plain = fact.join(dim, "k")
+      assert(viaPrune.exceptAll(plain).isEmpty && plain.exceptAll(viaPrune).isEmpty,
+        s"m=$m pruned-then-joined result differs from plain join")
+    }
+  }
+
   test("grids merge by cell-wise addition") {
     val width = 8
     val left = Sketch.cmsGrid(keyed.filter($"k" <= "u2"), "k", "n", width)
