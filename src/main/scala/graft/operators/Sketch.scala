@@ -112,6 +112,6 @@ object Sketch {
     }.reduce(_ && _)
     probe
       .crossJoin(broadcast(bitmap))
-      .select(probe.columns.map(col) :+ tests.as("maybe"): _*)
+      .select(probe.columns.toIndexedSeq.map(col) :+ tests.as("maybe"): _*)
   }
 }
