@@ -444,6 +444,13 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   * ‖v‖² − 2·v·c + ‖c‖² and its cluster, strict `<` so the LOWEST cluster id
   * wins ties; an empty centroid table yields (Double.MaxValue, −1).
   *
+  * Null handling (the function is registered as public SQL, so arbitrary
+  * input can reach it): a null STRUCT element in the centroid table, a
+  * null field inside it, or a null double inside a centroid's `c` array
+  * marks that centroid invalid and it is SKIPPED — identical in
+  * interpreted and codegen paths; a table of only invalid entries
+  * degenerates to the empty-table result (Double.MaxValue, −1).
+  *
   * Bit-for-bit the same float ops in the same order as the
   * `functions.aggregate` fold it replaces (left-to-right dot, then
   * dxx − 2·dot + dcc), so the unrolled-CTE DuckDB oracles keep hashing
@@ -492,14 +499,24 @@ case class VecArgminCell(first: Expression, second: Expression, third: Expressio
     var bestCluster = -1
     var j = 0
     while (j < cs.numElements()) {
-      val ct = cs.getStruct(j, 3)
-      val c = ct.getArray(1)
-      val n = math.min(xs.numElements(), c.numElements())
-      var dot = 0.0
-      var i = 0
-      while (i < n) { dot += xs.getDouble(i) * c.getDouble(i); i += 1 }
-      val sq = dx - 2.0 * dot + ct.getDouble(2)
-      if (sq < bestSq) { bestSq = sq; bestCluster = ct.getInt(0) }
+      if (!cs.isNullAt(j)) {
+        val ct = cs.getStruct(j, 3)
+        if (!ct.isNullAt(0) && !ct.isNullAt(1) && !ct.isNullAt(2)) {
+          val c = ct.getArray(1)
+          val n = math.min(xs.numElements(), c.numElements())
+          var dot = 0.0
+          var ok = true
+          var i = 0
+          while (ok && i < n) {
+            if (c.isNullAt(i)) ok = false
+            else { dot += xs.getDouble(i) * c.getDouble(i); i += 1 }
+          }
+          if (ok) {
+            val sq = dx - 2.0 * dot + ct.getDouble(2)
+            if (sq < bestSq) { bestSq = sq; bestCluster = ct.getInt(0) }
+          }
+        }
+      }
       j += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -517,17 +534,23 @@ case class VecArgminCell(first: Expression, second: Expression, third: Expressio
       val c = ctx.freshName("c")
       val bestSq = ctx.freshName("bestSq")
       val bestCluster = ctx.freshName("bestCluster")
+      val ok = ctx.freshName("ok")
       s"""
          |double $bestSq = Double.MAX_VALUE;
          |int $bestCluster = -1;
          |for (int $j = 0; $j < $cents.numElements(); $j++) {
+         |  if ($cents.isNullAt($j)) continue;
          |  org.apache.spark.sql.catalyst.InternalRow $ct = $cents.getStruct($j, 3);
+         |  if ($ct.isNullAt(0) || $ct.isNullAt(1) || $ct.isNullAt(2)) continue;
          |  org.apache.spark.sql.catalyst.util.ArrayData $c = $ct.getArray(1);
          |  int $n = java.lang.Math.min($v.numElements(), $c.numElements());
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $v.getDouble($i) * $c.getDouble($i);
+         |  boolean $ok = true;
+         |  for (int $i = 0; $ok && $i < $n; $i++) {
+         |    if ($c.isNullAt($i)) { $ok = false; }
+         |    else { $dot += $v.getDouble($i) * $c.getDouble($i); }
          |  }
+         |  if (!$ok) continue;
          |  double $sq = $dxx - 2.0 * $dot + $ct.getDouble(2);
          |  if ($sq < $bestSq) { $bestSq = $sq; $bestCluster = $ct.getInt(0); }
          |}

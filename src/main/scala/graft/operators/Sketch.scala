@@ -95,6 +95,9 @@ object Sketch {
     * checkable.) */
   def bloomMaybe(
       probe: DataFrame, keyCol: String, bits: DataFrame, m: Int): DataFrame = {
+    require(!probe.columns.contains("maybe") && !probe.columns.contains("__bm"),
+      "bloomMaybe appends `maybe` (via scratch `__bm`); the probe frame must not " +
+        "already carry either column")
     val word = call_function("shiftleft", lit(1L),
       pmod(col("pos"), lit(64)).cast("int"))
     val bitmap = bits

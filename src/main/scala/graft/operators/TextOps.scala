@@ -309,8 +309,12 @@ object TextOps {
   def spanDedup(
       docs: DataFrame, idCol: String, textCol: String,
       segLen: Int = 8, minDocs: Int = 2): DataFrame = {
+    // null text coalesces to '' so the doc still appears in the output
+    // (as one empty segment) instead of silently vanishing through the
+    // posexplode — same keep-the-row contract as gopherRules
     val segs = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col(idCol).as("doc_id"),
+        tokens(coalesce(col(textCol), lit(""))).as("__t"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), expr(s"(size(__t) + ${segLen - 1}) div $segLen").cast("int") - 1),
         i => array_join(slice(col("__t"), i * segLen + 1, lit(segLen)), " "))))

@@ -80,10 +80,9 @@ object Catalog {
     * and m_r/c_r = round4'd per-(cluster, dim) means; af = the final
     * assignment carrying its squared distance. Centroids are rounded
     * before any distance math on BOTH engines, so every ranking compares
-    * identical doubles. */
-  /** Unrolled Lloyd-iteration CTE chain; `sfx` suffixes every CTE name so
-    * independent chains compose in one WITH (the PQ oracle runs one chain
-    * per subspace), `vecSql` is the vector expression the chain trains on
+    * identical doubles. `sfx` suffixes every CTE name so independent
+    * chains compose in one WITH (the PQ oracle runs one chain per
+    * subspace), `vecSql` is the vector expression the chain trains on
     * (full embedding by default; a list slice per PQ subspace). */
   private def kmeansCtes(
       k: Int, rounds: Int, dims: Int,

@@ -57,6 +57,19 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(out._2 === 2L) // [a b] + the 1-token tail [c]
   }
 
+  test("spanDedup keeps a null-text doc (as one empty segment) instead of dropping the row") {
+    // the keep-the-row contract gopherRules already follows: null text
+    // coalesces to '' -> the doc appears with its single empty segment
+    val docs = Seq((1L, "c d x"), (2L, "c d y"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = TextOps.spanDedup(docs, "doc_id", "text", segLen = 2, minDocs = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L), "null-text doc must survive")
+    val emptySegMd5 = spark.range(1).select(md5(lit("").cast("binary"))).as[String].head()
+    assert(out(2)._2 === 1L && out(2)._3 === 0L && out(2)._4 === emptySegMd5)
+  }
+
   // ------------------------------------------------------- unigramLmScore
 
   test("unigramLmScore: hand-computed add-one probabilities") {

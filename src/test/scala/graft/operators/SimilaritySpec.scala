@@ -176,6 +176,41 @@ class SimilaritySpec extends SparkSpec {
     assert(empty == ((Double.MaxValue, -1)))
   }
 
+  test("VecArgminCell skips null centroid entries identically in eval and codegen") {
+    // cluster 0 is a null struct element, cluster 1 has a null double in c,
+    // cluster 2 has a null dcc field, cluster 3 is the one valid entry:
+    // all invalid entries are SKIPPED, so 3 must win on both paths; an
+    // all-invalid table degenerates to the empty-table result
+    val vecs = Seq((0L, Array(1.0, 2.0))).toDF("vec_id", "v")
+      .withColumn("dxx", graft.functions.VectorFunctions.vec_dot($"v", $"v"))
+    val centsTyped = "array<struct<cluster:int,c:array<double>,dcc:double>>"
+    def run(centsSql: String, codegen: Boolean): (Double, Int) = {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try {
+        vecs.withColumn("cents", expr(centsSql).cast(centsTyped))
+          .select(graft.functions.VectorFunctions
+            .vec_argmin_cell($"v", $"dxx", $"cents").as("r"))
+          .select($"r.sq", $"r.cluster").as[(Double, Int)].head()
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+    val mixed = """array(
+      cast(null as struct<cluster:int,c:array<double>,dcc:double>),
+      named_struct('cluster', 1, 'c', array(1.0D, cast(null as double)), 'dcc', 2.0D),
+      named_struct('cluster', 2, 'c', array(0.0D, 0.0D), 'dcc', cast(null as double)),
+      named_struct('cluster', 3, 'c', array(1.0D, 2.0D), 'dcc', 5.0D))"""
+    for (cg <- Seq(true, false)) {
+      val (sq, cl) = run(mixed, cg)
+      assert(cl == 3 && math.abs(sq) < 1e-12,
+        s"codegen=$cg: valid centroid 3 must win, got ($sq, $cl)")
+      val allBad = run("""array(
+        cast(null as struct<cluster:int,c:array<double>,dcc:double>),
+        named_struct('cluster', 1, 'c', array(cast(null as double), 1.0D), 'dcc', 1.0D))""", cg)
+      assert(allBad == ((Double.MaxValue, -1)),
+        s"codegen=$cg: all-invalid table must degenerate to the empty result")
+    }
+  }
+
   test("multi-probe with nprobe=1 degrades to probing the nearest CENTROID (not the assignment)") {
     val all = corpus()
     val q = all.filter($"vec_id" === 0L)

@@ -71,6 +71,16 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bloomMaybe rejects a probe frame already carrying its output/scratch columns") {
+    val m = 16
+    val bits = Sketch.bloomBits(keyed.select($"k"), "k", m)
+    val clash = keyed.select($"k").withColumn("maybe", lit(true))
+    val ex = intercept[IllegalArgumentException] {
+      Sketch.bloomMaybe(clash, "k", bits, m)
+    }
+    assert(ex.getMessage.contains("maybe"))
+  }
+
   test("grids merge by cell-wise addition") {
     val width = 8
     val left = Sketch.cmsGrid(keyed.filter($"k" <= "u2"), "k", "n", width)
