@@ -276,12 +276,16 @@ object Similarity {
     * 2011): IVF (e9/e11) coarse-partitions, PQ compresses the residuals'
     * storage inside each cell.
     *
-    * Returns scalar rows (vec_id, sub, code, sq). Scale: each subspace is
-    * an independent [[kmeans]] over a SLICED projection — same
-    * scan-stage-assignment / single-exchange-update plan per round, m× in
-    * total but on dims/m-length vectors, so the arithmetic totals the same
-    * as one full-width training; the union of the per-subspace assignment
-    * projections adds no shuffle of its own. */
+    * Returns scalar rows (vec_id, sub, code, sq). Scale: all m subspace
+    * chains train in ONE plan — the sliced projections union (tagged by
+    * `sub`) in the scan stage, the m codebooks pack into ONE broadcast row
+    * (array indexed by sub of per-sub centroid packs), assignment is the
+    * same scan-stage [[graft.functions.VecArgminCell]] fold against the
+    * row's own subspace pack, and the update is ONE (sub, cluster)-keyed
+    * mean exchange per round. Per-round: one corpus pass + one tiny
+    * shuffle + one checkpoint barrier — training m subspaces sequentially
+    * pays m× the barriers for identical arithmetic (the scheduling cost
+    * that dominated this operator before). */
   def pqCodes(
       corpus: DataFrame, m: Int, k: Int, rounds: Int, dims: Int): DataFrame =
     pqModel(corpus, m, k, rounds, dims)._1
@@ -289,20 +293,75 @@ object Similarity {
         Relational.round4(col("sq")).as("sq"))
 
   /** The trained PQ model behind [[pqCodes]]: (codes, codebooks) —
-    * codes = (vec_id, sub, code, sq raw), codebooks = (sub, cluster, c). */
+    * codes = (vec_id, sub, code, sq raw), codebooks = (sub, cluster, c).
+    *
+    * Numerically identical to m independent [[kmeans]] chains over the
+    * slices (the formulation the DuckDB oracle replays): seeds are the k
+    * smallest-id vectors — the same ids for every subspace — sliced and
+    * round4'd; each row's argmin folds only over ITS subspace's centroid
+    * pack; means aggregate per (sub, cluster). Only the scheduling is
+    * fused, not the math. */
   def pqModel(
       corpus: DataFrame, m: Int, k: Int, rounds: Int, dims: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
-    val sub = dims / m
-    val parts = (0 until m).map { s =>
-      val sliced = corpus.select(col("vec_id"),
-        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
-      val (assigned, centroids) = kmeans(sliced, k, rounds, sub)
-      (assigned.select(col("vec_id"), lit(s).as("sub"),
-        col("cluster").as("code"), col("sq")),
-        centroids.select(lit(s).as("sub"), col("cluster"), col("c")))
+    val subLen = dims / m
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    def sliced(emb: Column): Seq[Column] = (0 until m).map { s =>
+      struct(lit(s).as("sub"), slice(emb, s * subLen + 1, subLen).as("v"))
     }
-    (parts.map(_._1).reduce(_ unionAll _), parts.map(_._2).reduce(_ unionAll _))
+    // corpus × m sliced rows, each tagged by subspace — one scan feeds
+    // every chain; the explode is scan-stage, no shuffle of its own
+    val vecs = corpus
+      .repartition(par)
+      .select(col("vec_id"), explode(array(
+        sliced(asDouble(col("embedding"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+      .withColumn("dxx", dot(col("v"), col("v")))
+    // (sub, cluster, c) -> ONE row: subcents[sub] = that subspace's
+    // cluster-sorted centroid pack (VecArgminCell's input shape)
+    def packed(cent: DataFrame): DataFrame =
+      cent
+        .withColumn("dcc", dot(col("c"), col("c")))
+        .groupBy(col("sub"))
+        .agg(array_sort(collect_list(
+          struct(col("cluster"), col("c"), col("dcc")))).as("cents"))
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("cents")))),
+          e => e.getField("cents")).as("subcents"))
+    def assign(centArr: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(centArr))
+        .withColumn("best", graft.functions.VectorFunctions.vec_argmin_cell(
+          col("v"), col("dxx"), element_at(col("subcents"), col("sub") + 1)))
+        .select(col("vec_id"), col("sub"), col("v"), col("dxx"),
+          col("best").getField("cluster").as("cluster"),
+          col("best").getField("sq").as("sq"))
+    // seeds: the k smallest ids — the SAME ids for every subspace, so one
+    // k-row TakeOrdered serves all m chains, sliced m ways
+    val w0 = Window.orderBy(col("vec_id"))
+    val seeds = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .orderBy(col("vec_id")).limit(k)
+      .withColumn("cluster", (row_number().over(w0) - 1).cast("int"))
+    var centArr = packed(
+      seeds
+        .select(col("cluster"), explode(array(sliced(col("emb")): _*)).as("sv"))
+        .select(col("sv.sub").as("sub"), col("cluster"),
+          transform(col("sv.v"), x => Relational.round4(x)).as("c")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      centArr = packed(
+        assign(centArr)
+          .groupBy(col("sub"), col("cluster"))
+          .agg(array((1 to subLen).map(i =>
+            Relational.round4(avg(element_at(col("v"), i)))): _*).as("c")))
+        .localCheckpoint(true)
+    }
+    val books = centArr
+      .select(posexplode(col("subcents")))
+      .select(col("pos").cast("int").as("sub"), explode(col("col")).as("ct"))
+      .select(col("sub"), col("ct.cluster").as("cluster"), col("ct.c").as("c"))
+    val codes = assign(centArr)
+      .select(col("vec_id"), col("sub"), col("cluster").as("code"), col("sq"))
+    (codes, books)
   }
 
   /** PQ search by asymmetric distance computation (ADC, Jégou et al. 2011
