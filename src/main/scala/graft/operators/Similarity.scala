@@ -407,6 +407,77 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
   }
 
+  /** IVF-PQ search — the IVFADC composition (Jégou et al. 2011 §III) the
+    * standalone pieces exist for: the coarse quantizer ([[kmeans]])
+    * partitions the corpus into cells, PQ ([[pqModel]]) compresses each
+    * vector to m codes, and a query ADC-scores ONLY the nprobe cells its
+    * coarse probe ranks highest — [[pqAdcSearch]]'s code-only scan without
+    * its corpus×queries aggregate, which is the entire point at 100 TB:
+    * per query the scored set is nprobe·|cell| rows of small ints, never
+    * the corpus.
+    *
+    * The scoring join is keyed on (cell, sub, code): the broadcast side is
+    * the per-query LUT pre-joined with its probed cells
+    * (|queries|·nprobe·m·k rows — tiny), so pruning happens IN the join
+    * key, map-side, before the (q_id, n_id) aggregate. The cell column
+    * rides next to the codes via a vec_id-keyed join of the two trained
+    * assignments — in a production index the (cell, codes) pair is stored
+    * once per vector and this join disappears; both trainings run in-plan
+    * here for gate self-containment. Probe ranking is by centroid cosine
+    * (identical to [[knnIVFMultiProbeLearned]]); ADC partials are
+    * display-rounded then decimal-summed, so distributed order cannot
+    * perturb the gate. */
+  def ivfPqSearch(
+      corpus: DataFrame, queries: DataFrame,
+      coarseK: Int, coarseRounds: Int,
+      m: Int, k: Int, rounds: Int, dims: Int,
+      topK: Int, nprobe: Int): DataFrame = {
+    val subLen = dims / m
+    val (assigned, centroids) = kmeans(corpus, coarseK, coarseRounds, dims)
+    val (codes, books) = pqModel(corpus, m, k, rounds, dims)
+    val cent = centroids.withColumn("cent_norm", norm(col("c")))
+    val q = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster").asc)
+    val probed = q
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("q_emb"), col("c")) / (col("q_norm") * col("cent_norm")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("q_id"), col("cluster").as("q_cell"))
+    val qSub = (0 until m).map { s =>
+      queries.select(col("vec_id").as("q_id"),
+        slice(col("embedding"), s * subLen + 1, subLen)
+          .cast("array<double>").as("qe"), lit(s).as("sub"))
+    }.reduce(_ unionAll _)
+    val lut = qSub
+      .join(books.withColumn("dcc", dot(col("c"), col("c"))), "sub")
+      .select(col("q_id"), col("sub"), col("cluster").as("code"),
+        Relational.round4(dot(col("qe"), col("qe"))
+          - lit(2.0) * dot(col("qe"), col("c")) + col("dcc"))
+          .cast("decimal(18,4)").as("part"))
+    // LUT entries tagged with their query's probed cells: the broadcast
+    // probe table whose (q_cell, sub, code) key prunes at the join
+    val lutCells = probed.join(lut, Seq("q_id"))
+      .select(col("q_id"), col("q_cell"), col("sub").as("l_sub"),
+        col("code").as("l_code"), col("part"))
+    val cellCodes = codes
+      .join(assigned.select(col("vec_id"), col("cluster").as("cell")), Seq("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    cellCodes
+      .join(broadcast(lutCells),
+        col("cell") === col("q_cell") && col("sub") === col("l_sub") &&
+          col("code") === col("l_code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("part"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("part")).cast("double").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
+  }
+
   /** Exact embedding dedup at a cosine threshold over LSH-style cells: pairs
     * within the same coarse cell with cosine ≥ threshold. Near-dup detection
     * for embedding-indexed corpora; the cell join bounds the pair blowup.

@@ -180,6 +180,17 @@ object SimilarityQueries {
       Tables.embeddings(s, d), queriesSide(s, d), PqM, PqK, PqRounds, KmeansDims, 5)
       .orderBy(col("q_id"), col("rank"))
 
+  /** IVF-PQ (IVFADC) top-5 search: the coarse cells (e9's k-means), the PQ
+    * codes (e13's codebooks), and the ADC scan (e14's LUT) composed so each
+    * query scores ONLY its 2 probed cells — the scale-safe form of e14
+    * (see [[graft.operators.Similarity.ivfPqSearch]]). */
+  def e15IvfPqSearch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.ivfPqSearch(
+      Tables.embeddings(s, d), queriesSide(s, d),
+      KmeansK, KmeansRounds, PqM, PqK, PqRounds, KmeansDims,
+      topK = 5, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles

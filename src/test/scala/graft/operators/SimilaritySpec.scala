@@ -176,6 +176,36 @@ class SimilaritySpec extends SparkSpec {
     assert(empty == ((Double.MaxValue, -1)))
   }
 
+  test("ivfPqSearch with nprobe covering every cell equals exhaustive ADC; nprobe=1 scores only the probed cell") {
+    def vec(a: Float, b: Float, c: Float, dd: Float) = Array(a, b, c, dd)
+    val docs = Seq(
+      (0L, vec(1f, 0f, 1f, 0f)),
+      (1L, vec(0f, 1f, 0f, 1f)),
+      (2L, vec(0.9f, 0.1f, 0.1f, 0.9f)),
+      (3L, vec(0.1f, 0.9f, 0.9f, 0.1f)),
+      (4L, vec(0.8f, 0.2f, 0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val q = docs.filter($"vec_id" === 0L)
+    // coarse k=2 cells; nprobe=2 probes BOTH -> the cell restriction is
+    // vacuous and IVF-PQ must reproduce the exhaustive ADC ranking exactly
+    val full = Similarity.pqAdcSearch(docs, q, m = 2, k = 2, rounds = 2, dims = 4, topK = 4)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3).toSeq
+    val ivf = Similarity.ivfPqSearch(docs, q, coarseK = 2, coarseRounds = 2,
+      m = 2, k = 2, rounds = 2, dims = 4, topK = 4, nprobe = 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3).toSeq
+    assert(ivf == full, s"all-cells IVF-PQ must equal exhaustive ADC: $ivf vs $full")
+    // nprobe=1: every returned neighbor must live in ONE coarse cell
+    val cells = Similarity.kmeans(docs, k = 2, rounds = 2, dims = 4)._1
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val one = Similarity.ivfPqSearch(docs, q, coarseK = 2, coarseRounds = 2,
+      m = 2, k = 2, rounds = 2, dims = 4, topK = 4, nprobe = 1)
+      .select($"n_id").as[Long].collect().toSeq
+    assert(one.nonEmpty && one.map(cells).distinct.size == 1,
+      s"nprobe=1 must confine scoring to a single coarse cell, got cells ${one.map(cells)}")
+    assert(one.size < full.size,
+      "single-probe must actually prune (fewer candidates than exhaustive)")
+  }
+
   test("VecArgminCell skips null centroid entries identically in eval and codegen") {
     // cluster 0 is a null struct element, cluster 1 has a null double in c,
     // cluster 2 has a null dcc field, cluster 3 is the one valid entry:
