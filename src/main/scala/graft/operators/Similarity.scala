@@ -478,6 +478,26 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
   }
 
+  /** Coarse-quantizer residuals — the vectors IVFADC actually encodes
+    * (Jégou et al. 2011 §III): r(x) = x − c(cell(x)), each vector minus
+    * its assigned coarse centroid. Residual magnitudes are a fraction of
+    * raw magnitudes, so a PQ codebook of the same size spends its k
+    * entries on a tighter distribution and reconstruction error drops —
+    * the e16 gate measures exactly that. Returns (vec_id, embedding) with
+    * the residual in `embedding`, drop-in for [[pqModel]].
+    *
+    * The centroid join is a broadcast of k rows; the subtraction is
+    * scan-stage `zip_with` over correctly-rounded IEEE doubles (exact
+    * float→double inputs minus round4'd means), so both engines compute
+    * bit-identical residuals. */
+  def residuals(
+      corpus: DataFrame, coarseK: Int, coarseRounds: Int, dims: Int): DataFrame = {
+    val (assigned, centroids) = kmeans(corpus, coarseK, coarseRounds, dims)
+    assigned
+      .join(broadcast(centroids), Seq("cluster"))
+      .select(col("vec_id"), zip_with(col("v"), col("c"), (x, c) => x - c).as("embedding"))
+  }
+
   /** Exact embedding dedup at a cosine threshold over LSH-style cells: pairs
     * within the same coarse cell with cosine ≥ threshold. Near-dup detection
     * for embedding-indexed corpora; the cell join bounds the pair blowup.

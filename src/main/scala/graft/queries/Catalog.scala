@@ -83,14 +83,16 @@ object Catalog {
     * identical doubles. `sfx` suffixes every CTE name so independent
     * chains compose in one WITH (the PQ oracle runs one chain per
     * subspace), `vecSql` is the vector expression the chain trains on
-    * (full embedding by default; a list slice per PQ subspace). */
+    * (full embedding by default; a list slice per PQ subspace), `src` the
+    * relation it reads (a residual CTE for the e16 chains). */
   private def kmeansCtes(
       k: Int, rounds: Int, dims: Int,
-      sfx: String = "", vecSql: String = "embedding::DOUBLE[]"): String = {
+      sfx: String = "", vecSql: String = "embedding::DOUBLE[]",
+      src: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb ++= s"""v$sfx AS (SELECT vec_id, $vecSql AS v,
       |    list_dot_product($vecSql, $vecSql) AS dxx
-      |  FROM embeddings),
+      |  FROM $src),
       |c0$sfx AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
       |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS c
       |  FROM (SELECT * FROM v$sfx ORDER BY vec_id LIMIT $k))""".stripMargin
@@ -1170,6 +1172,39 @@ object Catalog {
           |  FROM sc)
           |SELECT q_id, n_id, rank, adc FROM r WHERE rank <= 5
           |ORDER BY q_id, rank""".stripMargin
+      }),
+
+    // residual vs raw PQ: the coarse chain's residuals feed their own pair
+    // of subspace chains; per-vector reconstruction errors (exact decimal
+    // sums of rounded per-sub sq) side by side, direction flag pinned
+    QuerySpec("e16_residual_pq", SimilarityQueries.e16ResidualPq,
+      Some {
+        val m = SimilarityQueries.PqM
+        val sub = 64 / m
+        val kr = SimilarityQueries.KmeansRounds
+        val residCtes = (0 until m).map { s =>
+          kmeansCtes(SimilarityQueries.PqK, SimilarityQueries.PqRounds, sub,
+            sfx = s"_r$s", vecSql = s"(embedding)[${s * sub + 1}:${(s + 1) * sub}]",
+            src = "resid")
+        }.mkString(",\n")
+        def errCte(name: String, alias: String, sfxs: Seq[String]): String = {
+          val u = sfxs.map(x => s"SELECT vec_id, sq FROM af$x").mkString(" UNION ALL ")
+          s"""$name AS (SELECT vec_id,
+             |    CAST(sum(CAST(floor(sq * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS $alias
+             |  FROM ($u) u GROUP BY vec_id)""".stripMargin
+        }
+        s"""WITH $kmCtes,
+          |resid AS (SELECT v.vec_id,
+          |    list_transform(generate_series(CAST(1 AS BIGINT), CAST(64 AS BIGINT)),
+          |      i -> v.v[i] - c.c[i]) AS embedding
+          |  FROM v JOIN af USING (vec_id) JOIN c$kr c ON af.cluster = c.cluster),
+          |$pqCtes,
+          |$residCtes,
+          |${errCte("rawerr", "raw_err", (0 until m).map(s => s"_p$s"))},
+          |${errCte("reserr", "res_err", (0 until m).map(s => s"_r$s"))}
+          |SELECT r.vec_id, r.raw_err, e.res_err, e.res_err <= r.raw_err AS improved
+          |FROM rawerr r JOIN reserr e ON r.vec_id = e.vec_id
+          |ORDER BY r.vec_id""".stripMargin
       }),
 
     QuerySpec("e9_kmeans_assign", SimilarityQueries.e9KmeansAssign,

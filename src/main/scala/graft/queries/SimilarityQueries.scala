@@ -191,6 +191,33 @@ object SimilarityQueries {
       topK = 5, nprobe = 2)
       .orderBy(col("q_id"), col("rank"))
 
+  /** Residual product quantization vs raw PQ — the IVFADC encoding choice
+    * made measurable: PQ trained on coarse-quantizer residuals
+    * ([[graft.operators.Similarity.residuals]]) against PQ trained on the
+    * raw vectors, per-vector total squared reconstruction error side by
+    * side (subspaces are an orthogonal decomposition, so the per-sub sq
+    * errors sum exactly to the vector's reconstruction error). `improved`
+    * pins the expected direction; both engines compute the same flag, so
+    * the gate stays honest either way. */
+  def e16ResidualPq(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity.{pqModel, residuals}
+    val emb = Tables.embeddings(s, d)
+    val raw = pqModel(emb, PqM, PqK, PqRounds, KmeansDims)._1
+    val res = pqModel(
+      residuals(emb, KmeansK, KmeansRounds, KmeansDims),
+      PqM, PqK, PqRounds, KmeansDims)._1
+    def perVec(codes: DataFrame, name: String): DataFrame =
+      codes
+        .select(col("vec_id"), graft.operators.Relational.round4(col("sq"))
+          .cast("decimal(18,4)").as("sqr"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("sqr")).cast("double").as(name))
+    perVec(raw, "raw_err")
+      .join(perVec(res, "res_err"), Seq("vec_id"))
+      .withColumn("improved", col("res_err") <= col("raw_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles

@@ -206,6 +206,34 @@ class SimilaritySpec extends SparkSpec {
       "single-probe must actually prune (fewer candidates than exhaustive)")
   }
 
+  test("residual PQ beats raw PQ when clusters outnumber codebook entries") {
+    // 4 well-separated cluster offsets but only k=2 codebook entries per
+    // subspace: raw PQ cannot represent 4 offsets with 2 entries, residual
+    // PQ subtracts the coarse centroid first so its codebook only has to
+    // cover the small intra-cluster jitter — the reason IVFADC encodes
+    // residuals
+    val rnd = new scala.util.Random(7)
+    val offsets = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val docs = (0 until 40).map { i =>
+      val base = offsets(i % 4)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val raw = Similarity.pqModel(docs, m = 2, k = 2, rounds = 2, dims = 4)._1
+    val resVecs = Similarity.residuals(docs, coarseK = 4, coarseRounds = 3, dims = 4)
+    // residuals are near-centered: magnitudes collapse vs the raw vectors
+    val resNorm = resVecs.select(
+      sqrt(graft.functions.VectorFunctions.vec_dot(
+        $"embedding", $"embedding"))).as[Double].collect()
+    assert(resNorm.forall(_ < 1.0), s"residuals should be tiny, max=${resNorm.max}")
+    val res = Similarity.pqModel(resVecs, m = 2, k = 2, rounds = 2, dims = 4)._1
+    val rawTot = raw.agg(sum($"sq")).as[Double].head()
+    val resTot = res.agg(sum($"sq")).as[Double].head()
+    assert(resTot < rawTot * 0.5,
+      s"residual PQ should reconstruct far better: res=$resTot raw=$rawTot")
+  }
+
   test("VecArgminCell skips null centroid entries identically in eval and codegen") {
     // cluster 0 is a null struct element, cluster 1 has a null double in c,
     // cluster 2 has a null dcc field, cluster 3 is the one valid entry:
