@@ -515,6 +515,18 @@ object Similarity {
       .repartition(par)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"), col("label").as("cell"))
       .withColumn("nrm", norm(col("emb")))
+    cosineNearDupPairsFrom(base, threshold, saltBuckets)
+  }
+
+  /** [[cosineNearDupPairs]] over a caller-prepared (vec_id, emb, cell
+    * [, nrm]) frame — the variant that takes LEARNED cells (a [[kmeans]]
+    * assignment) instead of the dataset's `label` column. Same salted
+    * self-join; `nrm` is computed here if absent. */
+  def cosineNearDupPairsFrom(
+      prepared: DataFrame, threshold: Double, saltBuckets: Int = 16): DataFrame = {
+    val base =
+      if (prepared.columns.contains("nrm")) prepared
+      else prepared.withColumn("nrm", norm(col("emb")))
     val a = base
       .select(col("vec_id").as("id1"), col("emb").as("e1"), col("cell"), col("nrm").as("n1"))
       .withColumn("salt", pmod(col("id1"), lit(saltBuckets)))

@@ -1207,6 +1207,28 @@ object Catalog {
           |ORDER BY r.vec_id""".stripMargin
       }),
 
+    // semantic dedup: learned cells bound the pair search, transitive
+    // closure (recursive walk, d6's idiom) collapses pairs to clusters,
+    // min-id member is the kept representative
+    QuerySpec("c5_semantic_dedup", SimilarityQueries.c5SemanticDedup,
+      Some(s"""WITH RECURSIVE $kmCtes,
+        |cellvecs AS (SELECT af.vec_id, af.cluster AS cell, v.v, sqrt(v.dxx) AS nrm
+        |  FROM af JOIN v USING (vec_id)),
+        |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM cellvecs a JOIN cellvecs b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+        |e AS (SELECT id1, id2 FROM pairs UNION SELECT id2 AS id1, id1 AS id2 FROM pairs),
+        |walk AS (
+        |  SELECT id1 AS id, id1 AS reach FROM e
+        |  UNION
+        |  SELECT w.id, e.id2 AS reach FROM walk w JOIN e ON w.reach = e.id1),
+        |comp AS (SELECT id, min(reach) AS cluster FROM walk GROUP BY id)
+        |SELECT id AS vec_id, cluster,
+        |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
+        |  id = cluster AS keep
+        |FROM comp ORDER BY cluster, vec_id""".stripMargin)),
+
     QuerySpec("e9_kmeans_assign", SimilarityQueries.e9KmeansAssign,
       Some(s"""WITH $kmCtes
         |SELECT vec_id, cluster, floor(sq * 10000 + 0.5) / 10000 AS sq_dist

@@ -218,6 +218,31 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Semantic dedup — the SemDeDup-style composition (Abbas et al. 2023)
+    * the embedding-side catalog builds toward: [[e9KmeansAssign]]'s learned
+    * cells bound the pair search, within-cell cosine pairs at ≥ 0.35
+    * become edges, [[graft.operators.Graph.connectedComponents]] collapses
+    * them to clusters labeled by min member id, and `keep` marks the one
+    * representative per cluster. Never all-pairs: the cell equi-join +
+    * salting bounds the blowup exactly like e3, and the component
+    * iteration runs on the (tiny) edge list only. */
+  def c5SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val (assigned, _) =
+      kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)
+    val base = assigned.select(col("vec_id"), col("v").as("emb"),
+      col("cluster").as("cell"), sqrt(col("dxx")).as("nrm"))
+    val pairs = graft.operators.Similarity
+      .cosineNearDupPairsFrom(base, 0.35)
+      .select(col("id1"), col("id2"))
+    val labels = graft.operators.Graph.connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    labels
+      .select(col("id").as("vec_id"), col("comp").as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep", col("vec_id") === col("cluster"))
+      .orderBy(col("cluster"), col("vec_id"))
+  }
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles
