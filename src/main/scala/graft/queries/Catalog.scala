@@ -1301,6 +1301,61 @@ object Catalog {
         |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
 
+    // probe-count sensitivity: ONE candidate pass at prank <= 4; each
+    // nprobe's top-5 is a row_number whose CASE ordering pushes wider-probe
+    // rows to the bottom — recall at nprobe 1/2/4 plus the monotone pin
+    QuerySpec("e12b_probe_recall", SimilarityQueries.e12bProbeRecall,
+      Some {
+        def rkCase(n: Int) =
+          s"""row_number() OVER (PARTITION BY q_id
+             |      ORDER BY CASE WHEN prank <= $n THEN 0 ELSE 1 END, cos DESC, n_id) AS rk$n"""
+            .stripMargin
+        def rec(n: Int) =
+          s"floor(count(CASE WHEN f.h$n THEN 1 END) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS recall_$n"
+        s"""WITH $kmCtes,
+          |cn AS (SELECT cluster, c, sqrt(list_dot_product(c, c)) AS cent_norm
+          |  FROM c${SimilarityQueries.KmeansRounds}),
+          |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
+          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
+          |  FROM embeddings WHERE vec_id < 10),
+          |pr AS (SELECT q_id, qe, q_norm, cluster,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY list_dot_product(qe, c) / (q_norm * cent_norm) DESC, cluster) AS prank
+          |  FROM q, cn),
+          |probed AS (SELECT q_id, qe, q_norm, cluster AS q_cell, prank FROM pr WHERE prank <= 4),
+          |cc AS (SELECT af.vec_id AS n_id, v.v AS ne, af.cluster AS n_cell,
+          |    sqrt(v.dxx) AS n_norm
+          |  FROM af JOIN v ON af.vec_id = v.vec_id),
+          |s AS (SELECT q_id, n_id, prank,
+          |    list_dot_product(qe, ne) / (q_norm * n_norm) AS cos
+          |  FROM probed JOIN cc ON q_cell = n_cell AND q_id <> n_id),
+          |rk AS (SELECT q_id, n_id, prank,
+          |    ${rkCase(1)},
+          |    ${rkCase(2)},
+          |    ${rkCase(4)}
+          |  FROM s),
+          |flags AS (SELECT q_id, n_id,
+          |    (prank <= 1 AND rk1 <= 5) AS h1,
+          |    (prank <= 2 AND rk2 <= 5) AS h2,
+          |    (prank <= 4 AND rk4 <= 5) AS h4
+          |  FROM rk),
+          |bs AS (SELECT q.q_id, v.vec_id AS n_id,
+          |    list_dot_product(qe, v.v) / (q_norm * sqrt(v.dxx)) AS cos
+          |  FROM q, v WHERE q.q_id <> v.vec_id),
+          |truth AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+          |  FROM bs) t WHERE rank <= 5),
+          |agg AS (SELECT t.q_id, count(*) AS n_truth,
+          |    ${rec(1)},
+          |    ${rec(2)},
+          |    ${rec(4)}
+          |  FROM truth t LEFT JOIN flags f ON t.q_id = f.q_id AND t.n_id = f.n_id
+          |  GROUP BY t.q_id)
+          |SELECT q_id, n_truth, recall_1, recall_2, recall_4,
+          |  recall_1 <= recall_2 AND recall_2 <= recall_4 AS monotone
+          |FROM agg ORDER BY q_id""".stripMargin
+      }),
+
     QuerySpec("e4_centroid", SimilarityQueries.e4Centroid,
       Some("""WITH u AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS x
         |        FROM embeddings, generate_series(1, 64) AS t(i))

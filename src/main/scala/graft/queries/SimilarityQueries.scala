@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Similarity._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search operators over the `embeddings` table. */
@@ -155,6 +155,68 @@ object SimilarityQueries {
       .select(col("q_id"), col("n_truth"), col("n_hit"),
         graft.operators.Relational.round4(
           col("n_hit").cast("double") / col("n_truth")).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Probe-count sensitivity of learned-IVF recall — the recall/cost dial
+    * MEASURED instead of asserted at one point: recall@5 at nprobe ∈
+    * {1, 2, 4} from ONE scored candidate pass. The widest probe set
+    * (prank ≤ 4) is scored once; each narrower nprobe's top-5 is a
+    * row_number whose ordering pushes prank > n rows to the bottom — three
+    * sorts over the same frame, no re-join, no re-scan. `monotone` pins
+    * the structural guarantee that recall never falls as nprobe grows
+    * (true-top-5 members outrank every non-member in any candidate
+    * subset, so widening the probe set only adds them). */
+  def e12bProbeRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity.{dot, norm, knnBruteForce}
+    val (assigned, centroids) =
+      kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)
+    val cent = centroids.withColumn("cent_norm", norm(col("c")))
+    val q = queriesSide(s, d)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster").asc)
+    val probed = q
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("q_emb"), col("c")) / (col("q_norm") * col("cent_norm")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= 4)
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col("cluster").as("q_cell"), col("prank"))
+    val c = assigned.select(col("vec_id").as("n_id"), col("v").as("n_emb"),
+      col("cluster").as("n_cell"), sqrt(col("dxx")).as("n_norm"))
+    val scored = c
+      .join(broadcast(probed), col("q_cell") === col("n_cell") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+      .select(col("q_id"), col("n_id"), col("prank"), col("cos"))
+    def wn(n: Int) = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(when(col("prank") <= n, 0).otherwise(1).asc,
+        col("cos").desc, col("n_id").asc)
+    val flags = scored
+      .withColumn("rk1", row_number().over(wn(1)))
+      .withColumn("rk2", row_number().over(wn(2)))
+      .withColumn("rk4", row_number().over(wn(4)))
+      .select(col("q_id"), col("n_id"),
+        (col("prank") <= 1 && col("rk1") <= 5).as("h1"),
+        (col("prank") <= 2 && col("rk2") <= 5).as("h2"),
+        (col("prank") <= 4 && col("rk4") <= 5).as("h4"))
+    val truth = knnBruteForce(Tables.embeddings(s, d), queriesSide(s, d), 5)
+      .select(col("q_id"), col("n_id"))
+    def recall(h: Column): Column =
+      graft.operators.Relational.round4(
+        count(when(h, lit(1))).cast("double") / count(lit(1)))
+    truth
+      .join(broadcast(flags), Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        recall(col("h1")).as("recall_1"),
+        recall(col("h2")).as("recall_2"),
+        recall(col("h4")).as("recall_4"))
+      .withColumn("monotone",
+        col("recall_1") <= col("recall_2") && col("recall_2") <= col("recall_4"))
       .orderBy(col("q_id"))
   }
 
