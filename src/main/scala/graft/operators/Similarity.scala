@@ -478,6 +478,69 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
   }
 
+  /** Full IVFADC search (Jégou et al. 2011 §III): [[ivfPqSearch]]'s
+    * probed-cells-only ADC scan, but over RESIDUAL codes — each corpus
+    * vector is encoded as its offset from its coarse centroid
+    * ([[residualsFrom]]), and each query builds a SEPARATE lookup table
+    * per probed cell from its own residual against that cell's centroid.
+    * The ADC sum then approximates ‖(q − c_cell) − recon(codes)‖², the
+    * quantity the residual codebooks were trained to minimize — e16 shows
+    * the encoding is tighter, this operator is the search that cashes
+    * that in.
+    *
+    * Shapes are identical to [[ivfPqSearch]]: the broadcast side grows
+    * only by the per-cell LUT copies (|queries|·nprobe·m·k rows), the
+    * scoring join stays keyed on (cell, sub, code), and the aggregate
+    * stays nprobe·|cell|·|queries|. */
+  def ivfAdcResidualSearch(
+      corpus: DataFrame, queries: DataFrame,
+      coarseK: Int, coarseRounds: Int,
+      m: Int, k: Int, rounds: Int, dims: Int,
+      topK: Int, nprobe: Int): DataFrame = {
+    val subLen = dims / m
+    val (assigned, centroids) = kmeans(corpus, coarseK, coarseRounds, dims)
+    val (codes, books) = pqModel(residualsFrom(assigned, centroids), m, k, rounds, dims)
+    val cent = centroids.withColumn("cent_norm", norm(col("c")))
+    val q = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster").asc)
+    // the probe keeps each probed cell's centroid: the query's residual is
+    // PER CELL (q − c_cell), one LUT per (query, probed cell)
+    val qr = q
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("q_emb"), col("c")) / (col("q_norm") * col("cent_norm")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("q_id"), col("cluster").as("q_cell"),
+        zip_with(col("q_emb"), col("c"), (x, c) => x - c).as("qe"))
+    val qSub = (0 until m).map { s =>
+      qr.select(col("q_id"), col("q_cell"),
+        slice(col("qe"), s * subLen + 1, subLen).as("qe"), lit(s).as("sub"))
+    }.reduce(_ unionAll _)
+    val lut = qSub
+      .join(books.withColumn("dcc", dot(col("c"), col("c"))), "sub")
+      .select(col("q_id"), col("q_cell"), col("sub").as("l_sub"),
+        col("cluster").as("l_code"),
+        Relational.round4(dot(col("qe"), col("qe"))
+          - lit(2.0) * dot(col("qe"), col("c")) + col("dcc"))
+          .cast("decimal(18,4)").as("part"))
+    val cellCodes = codes
+      .join(assigned.select(col("vec_id"), col("cluster").as("cell")), Seq("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    cellCodes
+      .join(broadcast(lut),
+        col("cell") === col("q_cell") && col("sub") === col("l_sub") &&
+          col("code") === col("l_code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("part"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("part")).cast("double").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
+  }
+
   /** Coarse-quantizer residuals — the vectors IVFADC actually encodes
     * (Jégou et al. 2011 §III): r(x) = x − c(cell(x)), each vector minus
     * its assigned coarse centroid. Residual magnitudes are a fraction of
@@ -493,10 +556,18 @@ object Similarity {
   def residuals(
       corpus: DataFrame, coarseK: Int, coarseRounds: Int, dims: Int): DataFrame = {
     val (assigned, centroids) = kmeans(corpus, coarseK, coarseRounds, dims)
+    residualsFrom(assigned, centroids)
+  }
+
+  /** [[residuals]] over an ALREADY-trained coarse quantizer — the sharing
+    * variant for pipelines that need the assignment/centroids again
+    * downstream (the e17 IVFADC search probes the same cells the residuals
+    * were taken against, so training twice would be both wasteful and
+    * subtly wrong if seeds ever diverged). */
+  def residualsFrom(assigned: DataFrame, centroids: DataFrame): DataFrame =
     assigned
       .join(broadcast(centroids), Seq("cluster"))
       .select(col("vec_id"), zip_with(col("v"), col("c"), (x, c) => x - c).as("embedding"))
-  }
 
   /** Exact embedding dedup at a cosine threshold over LSH-style cells: pairs
     * within the same coarse cell with cosine ≥ threshold. Near-dup detection

@@ -305,6 +305,17 @@ object SimilarityQueries {
       .orderBy(col("cluster"), col("vec_id"))
   }
 
+  /** Full IVFADC top-5 search: e15's probed-cells ADC over e16's residual
+    * encoding — per probed cell the query builds its own residual LUT, so
+    * the ADC sum approximates the true residual distance (see
+    * [[graft.operators.Similarity.ivfAdcResidualSearch]]). */
+  def e17IvfadcSearch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.ivfAdcResidualSearch(
+      Tables.embeddings(s, d), queriesSide(s, d),
+      KmeansK, KmeansRounds, PqM, PqK, PqRounds, KmeansDims,
+      topK = 5, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles

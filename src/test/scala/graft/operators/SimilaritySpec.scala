@@ -234,6 +234,35 @@ class SimilaritySpec extends SparkSpec {
       s"residual PQ should reconstruct far better: res=$resTot raw=$rawTot")
   }
 
+  test("ivfAdcResidualSearch keeps every neighbor in the query's cluster and ranks by residual distance") {
+    // 4 cluster offsets ~14 apart, jitter <= 0.3: a neighbor in the
+    // query's own cluster has residual-ADC distance O(jitter²) while any
+    // cross-cluster candidate scores against a FAR centroid's residual
+    // (O(offset²)) — so the returned top-k must live entirely in the
+    // query's cluster even with every cell probed, and the adc column must
+    // ascend with rank. (Exact within-cluster ORDER is not pinned: a
+    // 2-entry codebook quantizes the jitter too coarsely for that.)
+    val rnd = new scala.util.Random(11)
+    val offsets = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val docs = (0 until 24).map { i =>
+      val base = offsets(i % 4)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val q = docs.filter($"vec_id" === 0L)
+    val res = Similarity.ivfAdcResidualSearch(docs, q, coarseK = 4, coarseRounds = 3,
+      m = 2, k = 2, rounds = 2, dims = 4, topK = 3, nprobe = 4)
+      .orderBy($"rank").as[(Long, Long, Int, Double)].collect().toSeq
+    assert(res.size == 3)
+    assert(res.forall(_._2 % 4 == 0),
+      s"neighbors should share the query's cluster: ${res.map(_._2)}")
+    assert(res.map(_._4) == res.map(_._4).sorted, "adc must ascend with rank")
+    // cross-cluster separation is macroscopic: every returned adc is far
+    // below the squared inter-offset distance (~200)
+    assert(res.forall(_._4 < 10.0), s"in-cluster adc should be tiny: $res")
+  }
+
   test("VecArgminCell skips null centroid entries identically in eval and codegen") {
     // cluster 0 is a null struct element, cluster 1 has a null double in c,
     // cluster 2 has a null dcc field, cluster 3 is the one valid entry:
