@@ -304,19 +304,34 @@ object Similarity {
   def pqModel(
       corpus: DataFrame, m: Int, k: Int, rounds: Int, dims: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
-    val subLen = dims / m
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    def sliced(emb: Column): Seq[Column] = (0 until m).map { s =>
-      struct(lit(s).as("sub"), slice(emb, s * subLen + 1, subLen).as("v"))
-    }
-    // corpus × m sliced rows, each tagged by subspace — one scan feeds
-    // every chain; the explode is scan-stage, no shuffle of its own
-    val vecs = corpus
-      .repartition(par)
-      .select(col("vec_id"), explode(array(
-        sliced(asDouble(col("embedding"))): _*)).as("sv"))
+    pqModelFrom(
+      slicedVecs(corpus.repartition(par), m, dims / m, 0), k, rounds, dims / m)
+  }
+
+  /** Corpus × m sliced rows, each tagged by subspace id `base + s` — the
+    * scan-stage explode that feeds [[pqModelFrom]]; no shuffle of its own.
+    * `base` offsets the sub ids so independently-sliced frames (raw +
+    * residual in e16) can union into ONE training with dense sub ids. */
+  def slicedVecs(corpus: DataFrame, m: Int, subLen: Int, base: Int): DataFrame =
+    corpus
+      .select(col("vec_id"), explode(array((0 until m).map { s =>
+        struct(lit(base + s).as("sub"),
+          slice(asDouble(col("embedding")), s * subLen + 1, subLen).as("v"))
+      }: _*)).as("sv"))
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
       .withColumn("dxx", dot(col("v"), col("v")))
+
+  /** The fused multi-chain Lloyd trainer behind [[pqModel]], over a
+    * caller-built (vec_id, sub, v, dxx) frame whose sub ids must be dense
+    * 0..nSub−1 (each sub's pack is addressed positionally in the broadcast
+    * row). Callers that union independently-sourced slice frames (e16's
+    * raw + residual chains) get ALL chains for one set of round barriers —
+    * the arithmetic is identical to independent [[kmeans]] runs per sub
+    * (seeds = the k smallest ids, the same for every sub; per-sub argmin;
+    * (sub, cluster)-keyed means), only the scheduling is shared. */
+  def pqModelFrom(
+      vecs: DataFrame, k: Int, rounds: Int, subLen: Int): (DataFrame, DataFrame) = {
     // (sub, cluster, c) -> ONE row: subcents[sub] = that subspace's
     // cluster-sorted centroid pack (VecArgminCell's input shape)
     def packed(cent: DataFrame): DataFrame =
@@ -334,18 +349,19 @@ object Similarity {
         .select(col("vec_id"), col("sub"), col("v"), col("dxx"),
           col("best").getField("cluster").as("cluster"),
           col("best").getField("sq").as("sq"))
-    // seeds: the k smallest ids — the SAME ids for every subspace, so one
-    // k-row TakeOrdered serves all m chains, sliced m ways
+    // seeds: the k smallest ids — the SAME ids for every subspace (every
+    // sub carries the full vec_id set), so one k-row TakeOrdered on sub 0
+    // serves all chains via a broadcast id join
     val w0 = Window.orderBy(col("vec_id"))
-    val seeds = corpus
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val seedIds = vecs
+      .filter(col("sub") === 0)
+      .select(col("vec_id"))
       .orderBy(col("vec_id")).limit(k)
       .withColumn("cluster", (row_number().over(w0) - 1).cast("int"))
     var centArr = packed(
-      seeds
-        .select(col("cluster"), explode(array(sliced(col("emb")): _*)).as("sv"))
-        .select(col("sv.sub").as("sub"), col("cluster"),
-          transform(col("sv.v"), x => Relational.round4(x)).as("c")))
+      vecs.join(broadcast(seedIds), Seq("vec_id"))
+        .select(col("sub"), col("cluster"),
+          transform(col("v"), x => Relational.round4(x)).as("c")))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       centArr = packed(
@@ -499,7 +515,11 @@ object Similarity {
       topK: Int, nprobe: Int): DataFrame = {
     val subLen = dims / m
     val (assigned, centroids) = kmeans(corpus, coarseK, coarseRounds, dims)
-    val (codes, books) = pqModel(residualsFrom(assigned, centroids), m, k, rounds, dims)
+    // materialize the residual corpus once (it IS the encoded data — the
+    // 100 TB deployment stores it): without this every training round
+    // would recompute the coarse assignment scan behind residualsFrom
+    val resid = residualsFrom(assigned, centroids).localCheckpoint(true)
+    val (codes, books) = pqModelFrom(slicedVecs(resid, m, subLen, 0), k, rounds, subLen)
     val cent = centroids.withColumn("cent_norm", norm(col("c")))
     val q = queries
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))

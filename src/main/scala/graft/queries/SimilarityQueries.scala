@@ -262,20 +262,26 @@ object SimilarityQueries {
     * pins the expected direction; both engines compute the same flag, so
     * the gate stays honest either way. */
   def e16ResidualPq(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Similarity.{pqModel, residuals}
+    import graft.operators.Similarity.{kmeans, residualsFrom, slicedVecs, pqModelFrom}
     val emb = Tables.embeddings(s, d)
-    val raw = pqModel(emb, PqM, PqK, PqRounds, KmeansDims)._1
-    val res = pqModel(
-      residuals(emb, KmeansK, KmeansRounds, KmeansDims),
-      PqM, PqK, PqRounds, KmeansDims)._1
+    val (assigned, centroids) = kmeans(emb, KmeansK, KmeansRounds, KmeansDims)
+    // residuals materialized once (they are the encoded data); raw and
+    // residual chains then train FUSED — sub ids 0..m−1 raw, m..2m−1
+    // residual — so both encodings cost one set of round barriers
+    val resid = residualsFrom(assigned, centroids).localCheckpoint(true)
+    val subLen = KmeansDims / PqM
+    val par = s.sparkContext.defaultParallelism
+    val vecs = slicedVecs(emb.repartition(par), PqM, subLen, 0)
+      .unionAll(slicedVecs(resid, PqM, subLen, PqM))
+    val codes = pqModelFrom(vecs, PqK, PqRounds, subLen)._1
     def perVec(codes: DataFrame, name: String): DataFrame =
       codes
         .select(col("vec_id"), graft.operators.Relational.round4(col("sq"))
           .cast("decimal(18,4)").as("sqr"))
         .groupBy(col("vec_id"))
         .agg(sum(col("sqr")).cast("double").as(name))
-    perVec(raw, "raw_err")
-      .join(perVec(res, "res_err"), Seq("vec_id"))
+    perVec(codes.filter(col("sub") < PqM), "raw_err")
+      .join(perVec(codes.filter(col("sub") >= PqM), "res_err"), Seq("vec_id"))
       .withColumn("improved", col("res_err") <= col("raw_err"))
       .orderBy(col("vec_id"))
   }
@@ -291,8 +297,12 @@ object SimilarityQueries {
   def c5SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val (assigned, _) =
       kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)
+    // materialize the labeled corpus once: BOTH sides of the salted
+    // self-join read it, and without the checkpoint each side re-runs the
+    // final assignment scan
     val base = assigned.select(col("vec_id"), col("v").as("emb"),
       col("cluster").as("cell"), sqrt(col("dxx")).as("nrm"))
+      .localCheckpoint(true)
     val pairs = graft.operators.Similarity
       .cosineNearDupPairsFrom(base, 0.35)
       .select(col("id1"), col("id2"))
