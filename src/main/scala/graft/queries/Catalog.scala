@@ -1018,6 +1018,34 @@ object Catalog {
         |FROM s, generate_series(1, 64) AS t(i)
         |ORDER BY vec_id, dim""".stripMargin)),
 
+    // BM25 (k1=1.2, b=0.75) over an in-plan mid-frequency query slice:
+    // rounded idf and partials decimal-summed; decimal literals cast to
+    // DOUBLE so DuckDB's decimal arithmetic can't diverge from IEEE
+    QuerySpec("t18_bm25", TextQueries.t18Bm25,
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ad AS (SELECT floor(avg(dl) * 10000 + 0.5) / 10000 AS avgdl FROM dl),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT term, df FROM (
+        |    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r FROM dft) x
+        |  WHERE r BETWEEN 11 AND 15),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(floor(
+        |      (floor(ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE) * 10000 + 0.5) / 10000)
+        |      * (tf * 2.2::DOUBLE)
+        |      / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+        |      * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS part
+        |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad),
+        |agg AS (SELECT doc_id, CAST(sum(part) AS DOUBLE) AS bm25, count(*) AS n_hit
+        |  FROM sc GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_hit, bm25,
+        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        |  FROM agg)
+        |SELECT doc_id, n_hit, bm25, rank FROM r WHERE rank <= 20
+        |ORDER BY rank""".stripMargin)),
+
     // tf-idf ranks on the ROUNDED score (libm ln is not correctly-rounded;
     // round4 makes the ranking key engine-independent), ties by term asc
     QuerySpec("t9_tfidf", TextQueries.t9Tfidf,

@@ -275,6 +275,59 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** BM25 retrieval (Robertson–Spärck Jones, k1 = 1.2, b = 0.75): top-20
+    * docs for an in-plan query — the ranked-retrieval step an inverted
+    * index serves, expressed relationally. The query is the mid-frequency
+    * vocabulary slice (df ranks 11–15): head terms have no discrimination,
+    * tail terms no coverage.
+    *
+    * Plan shape: ONE explode feeds tf; doc length is tf's per-doc re-sum
+    * (no second explode); df and the query slice are a term-cardinality
+    * aggregate + TakeOrdered (never a corpus-wide window); the scoring
+    * join is tf against the BROADCAST 5-term query, so only matching
+    * (doc, term) rows survive the scan; avgdl and N are 1-row broadcasts.
+    * idf and the per-(doc, term) partial are display-rounded then
+    * decimal-summed (libm ln is not correctly-rounded; rounded partials
+    * make the sum order-independent), and the final top-20 is TakeOrdered
+    * on the exact decimal-sum score. */
+  def t18Bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val ad = dl.agg(graft.operators.Relational.round4(avg(col("dl"))).as("avgdl"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("term").asc)
+    val qterms = dft
+      .orderBy(col("df").desc, col("term").asc).limit(15)
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") >= 11)
+      .select(col("term"), col("df"))
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(ad))
+      .withColumn("idf", graft.operators.Relational.round4(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))))
+      .withColumn("part", graft.operators.Relational.round4(
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .cast("decimal(18,4)"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(sum(col("part")).cast("double").as("bm25"), count(lit(1)).as("n_hit"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    agg
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+      .withColumn("rank", row_number().over(wr))
+      .select(col("doc_id"), col("n_hit"), col("bm25"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   /** Repetition filter (the Gopher-style rule family): per-doc token
     * counts, distinct-token counts, and the top-token frequency ratio —
     * docs dominated by one repeated token are low-quality boilerplate.
