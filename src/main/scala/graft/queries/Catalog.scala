@@ -235,6 +235,18 @@ object Catalog {
         |        GROUP BY s_nationkey, p_type) c) r
         |WHERE rank <= 3 ORDER BY s_nationkey, rank""".stripMargin)),
 
+    // a1's result via the bounded top-k AGGREGATE (TopKByCount): identical
+    // SQL oracle — the aggregate must reproduce the window's ranking
+    // including ties, or the hash gate fails
+    QuerySpec("a11_topk_agg", RelationalQueries.a11TopkAgg,
+      Some("""SELECT o_custkey, l_partkey, cnt, rank FROM (
+        |  SELECT o_custkey, l_partkey, cnt,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY cnt DESC, l_partkey) AS INT) AS rank
+        |  FROM (SELECT o_custkey, l_partkey, count(*) AS cnt
+        |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |        GROUP BY o_custkey, l_partkey) c) r
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin)),
+
     QuerySpec("a2_capacity_ledger", RelationalQueries.a2CapacityLedger,
       Some("""SELECT user_id, event_id, seq,
         |  CASE WHEN seq <= 5 THEN 'CONFIRMED' ELSE 'REJECTED' END AS status,

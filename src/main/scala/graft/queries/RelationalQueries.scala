@@ -183,6 +183,29 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("rank"))
   }
 
+  /** a1's top-3 via the custom bounded AGGREGATE
+    * ([[graft.functions.TopKByCount]]) instead of the window: partial
+    * buffers carry at most O(k) candidates per group per map task, so the
+    * top-K shuffle moves k·tasks rows instead of the full member
+    * distribution — the form that survives a group whose member count is
+    * the corpus. Must hash-match a1's window formulation exactly
+    * (including (cnt desc, key asc) ties) — the oracle is the same SQL. */
+  def a11TopkAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val counted = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    counted
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.AggregateFunctions.top_k_by_count(
+        struct(col("cnt"), col("l_partkey")), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.l_partkey").as("l_partkey"),
+        col("col.cnt").as("cnt"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
   /** Top-3 part types per supplier nation (SURVEY §2.5 A5 + §2.4 J9/J10,
     * reference TopSellingGenreByVenue). */
   def a5Top3TypesPerNation(s: SparkSession, d: String): DataFrame = {
