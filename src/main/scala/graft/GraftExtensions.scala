@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, Shingles, SimHash16, SimHashSig, VecArgminCell, VecDot}
+import graft.functions.{MinHashSig, Shingles, SimHash16, SimHashSig, TopKByCount, VecArgminCell, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingles)
     ext.injectFunction(GraftExtensions.simhashSig)
     ext.injectFunction(GraftExtensions.vecArgminCell)
+    ext.injectFunction(GraftExtensions.topKByCount)
   }
 }
 
@@ -44,6 +45,21 @@ object GraftExtensions {
         throw new IllegalArgumentException(
           s"vec_argmin_cell requires (vec, self_dot, centroids), got ${children.length} args")
       VecArgminCell(children(0), children(1), children(2))
+    })
+
+  val topKByCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_by_count"),
+    new ExpressionInfo(classOf[TopKByCount].getName, "top_k_by_count"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new IllegalArgumentException(
+          s"top_k_by_count requires (struct<cnt, key>, k), got ${children.length} args")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"top_k_by_count k must be an integer literal, got $other")
+      }
+      TopKByCount(children.head, k).toAggregateExpression()
     })
 
   val simhash16: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Regression guards for the plan properties the 100 TB design depends on —
+  * a correctness gate can't see a plan rot from broadcast to cartesian or
+  * from pushed-down scan to full scan, so these pin the plan text itself
+  * (on sf0.001 inputs; plan SHAPE does not depend on the scale factor).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q1 scan pushes the shipdate filter and prunes unread columns") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: ["), "no filter pushdown on the lineitem scan")
+    assert(p.contains("l_shipdate"), "shipdate filter not at the scan")
+    assert(!p.contains("l_comment"), "ReadSchema carries an unused column")
+  }
+
+  test("multiway join broadcasts its dimension sides and never goes cartesian") {
+    val p = plan("j_multiway_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins should broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian product in the join tree")
+  }
+
+  test("e15's ADC join is a broadcast hash join keyed on (cell, sub, code)") {
+    val p = plan("e15_ivf_pq_search")
+    assert(p.contains("BroadcastHashJoin"), "ADC join lost its broadcast")
+    val keyed = p.linesIterator.exists { l =>
+      l.contains("Left keys [3]") && l.contains("cell")
+    }
+    assert(keyed, "ADC join is not keyed on the 3-column (cell, sub, code) tuple")
+    assert(!p.contains("CartesianProduct"), "cartesian product in e15")
+  }
+
+  test("a11's top-k aggregate runs a partial (map-side) phase") {
+    val p = plan("a11_topk_agg")
+    assert(p.contains("partial_top_k_by_count"),
+      "TopKByCount lost its partial phase — the shuffle would carry the full member distribution")
+  }
+
+  test("minhash banding never plans a cartesian pair join") {
+    val p = plan("d2_minhash_pairs")
+    assert(!p.contains("CartesianProduct"), "LSH banding degenerated to all-pairs")
+  }
+}

@@ -95,5 +95,15 @@ class WindowedOpsSpec extends SparkSpec {
         |  named_struct('cluster', 1, 'c', array(0.0D, 1.0D), 'dcc', 1.0D))) AS r""".stripMargin)
       .select("r.sq", "r.cluster").as[(Double, Int)].head()
     assert(am == ((0.0, 0)))
+    // the aggregate registers too: top-2 of three members, tie on cnt=2
+    // broken by key asc
+    val (ident, info, builder) = GraftExtensions.topKByCount
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val tk = spark.sql(
+      """SELECT transform(top_k_by_count(named_struct('cnt', cnt, 'key', key), 2),
+        |  x -> x.key) AS t
+        |FROM VALUES (2L, 'b'), (2L, 'a'), (1L, 'c') AS v(cnt, key)""".stripMargin)
+      .as[Seq[String]].head()
+    assert(tk == Seq("a", "b"))
   }
 }
