@@ -376,6 +376,59 @@ object TextOps {
           col("__slp").cast("double") / col("n_tokens")).as("avg_logprob"))
   }
 
+  /** Smoothed BIGRAM language-model score — [[unigramLmScore]] upgraded one
+    * Markov order (the next rung of the CCNet/KenLM perplexity-filter
+    * ladder): p(w_i | w_{i−1}) = (c(w_{i−1}w_i) + 1) / (c(w_{i−1}) + V),
+    * doc score = mean of the rounded log-probs over its bigram positions.
+    * A doc with fewer than 2 tokens keeps its row with (0, 0.0) — the
+    * keep-the-row contract.
+    *
+    * Plan: bigrams form in the scan stage (transform over an index
+    * sequence — no self-join of positions); corpus bigram counts are
+    * t15's window-over-the-tf-aggregate trick (no second aggregate);
+    * unigram context counts join on w1 (vocabulary-keyed shuffle — the
+    * one join a bigram model genuinely needs); V is a 1-row broadcast.
+    * Same determinism ladder as t15: rounded log-probs, decimal
+    * accumulation, one final rounded division. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(coalesce(col(textCol), lit(""))).as("__t"))
+    val dbf = toks
+      .select(col("doc_id"),
+        explode(when(size(col("__t")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(expr(
+            "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] as w1, __t[i+1] as w2))")))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val uf = docs
+      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+    val vocab = uf.agg(count(lit(1)).as("vocab"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"), col("w2"))
+    val agg = dbf
+      .withColumn("bc", sum(col("n")).over(wb))
+      .join(uf, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", Relational.round4(
+        log((col("bc") + 1).cast("double") / (col("uc") + col("vocab")))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n").cast("decimal(18,4)") * col("lp").cast("decimal(18,4)"))
+          .as("__slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Relational.round4(
+          col("__slp").cast("double") / col("n_bigrams")).as("avg_logprob"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
   /** Temperature-scaled mixture sampling (the α-smoothed multilingual
     * rebalancing of XLM-R, Conneau et al. 2020 §3.1, at α = 0.5): per-
     * stratum keep rates ∝ √(stratum mass), so low-resource strata are

@@ -847,6 +847,33 @@ object Catalog {
         |    / sum(tf) * 10000 + 0.5) / 10000 AS avg_logprob
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // bigram LM score: t15 one Markov order up — corpus bigram counts via
+    // the window-over-tf trick, unigram context joined on w1, same rounded
+    // log-prob + decimal accumulation ladder; short docs keep their row
+    QuerySpec("t19_bigram_lm", TextQueries.t19BigramLm,
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS w2
+        |  FROM tk WHERE len(t) >= 2),
+        |dbf AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+        |bc AS (SELECT doc_id, w1, n,
+        |    sum(n) OVER (PARTITION BY w1, w2) AS bc FROM dbf),
+        |uf AS (SELECT w1, count(*) AS uc
+        |  FROM (SELECT unnest(t) AS w1 FROM tk) u GROUP BY w1),
+        |vb AS (SELECT count(*) AS vocab FROM uf),
+        |sc AS (SELECT doc_id, n,
+        |    floor(ln((bc + 1) * 1.0 / (uc + vocab)) * 10000 + 0.5) / 10000 AS lp
+        |  FROM bc JOIN uf USING (w1) CROSS JOIN vb),
+        |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |    floor(CAST(sum(CAST(n AS DECIMAL(18,4)) * CAST(lp AS DECIMAL(18,4))) AS DOUBLE)
+        |      / sum(n) * 10000 + 0.5) / 10000 AS avg_logprob
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.avg_logprob, 0.0) AS avg_logprob
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // temperature-scaled (alpha = 0.5) language mixture: keep rates
     // proportional to round4'd sqrt(share), decimal-normalized, membership
     // by the t6 content hash

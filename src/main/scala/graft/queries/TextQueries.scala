@@ -479,6 +479,12 @@ object TextQueries {
     unigramLmScore(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Smoothed bigram LM score — the next Markov order of the t15 quality
+    * filter; see [[graft.operators.TextOps.bigramLmScore]]. */
+  def t19BigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Temperature-scaled language-mixture sampling (α = 0.5 up-weights
     * low-resource languages relative to corpus share — XLM-R's rebalancing
     * step); see [[graft.operators.TextOps.temperatureMix]]. */

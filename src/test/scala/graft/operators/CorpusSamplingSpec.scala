@@ -70,6 +70,21 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(out(2)._2 === 1L && out(2)._3 === 0L && out(2)._4 === emptySegMd5)
   }
 
+  test("bigramLmScore: hand-computed add-one bigram probabilities; short docs keep rows") {
+    // doc 1 "x y x y": bigrams (x,y)x2, (y,x)x1; unigrams x:2 y:2 z:1 -> V=3
+    // p(y|x) = (2+1)/(2+3), p(x|y) = (1+1)/(2+3)
+    // score = (2*r(ln p(y|x)) + 1*r(ln p(x|y))) / 3; doc 2 has no bigrams
+    val docs = Seq((1L, "x y x y"), (2L, "z")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val py = r4(math.log(3.0 / (2 + 3)))
+    val px = r4(math.log(2.0 / (2 + 3)))
+    val exp = r4((2 * py + px) / 3)
+    assert(out(0) === ((1L, 3L, exp)))
+    assert(out(1) === ((2L, 0L, 0.0)))
+  }
+
   // ------------------------------------------------------- unigramLmScore
 
   test("unigramLmScore: hand-computed add-one probabilities") {
