@@ -989,6 +989,18 @@ object Catalog {
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // approximate quantiles, a8's gate pattern: exact twins hash-gated,
+    // the engine-specific GK estimate bounded by 5%-error booleans the
+    // oracle pins TRUE
+    QuerySpec("a12_approx_quantiles", TextQueries.a12ApproxQuantiles,
+      Some("""SELECT lang,
+        |  floor(quantile_cont(n_chars, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        |  floor(quantile_cont(n_chars, 0.9) * 10000 + 0.5) / 10000 AS p90,
+        |  count(*) AS n_docs,
+        |  TRUE AS ok_p50,
+        |  TRUE AS ok_p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ------------------------------------------------ embeddings pipeline
 
     QuerySpec("e1_knn_brute", SimilarityQueries.e1KnnBrute,

@@ -578,4 +578,28 @@ object TextQueries {
         graft.operators.Relational.round4(element_at(col("__q"), 2)).as("p90"),
         col("n_docs"))
       .orderBy(col("lang"))
+
+  /** Approximate quantiles next to their exact twins — the sketch-side
+    * switch for t7 at 100 TB: exact percentiles need a per-group sort,
+    * `approx_percentile` (Greenwald–Khanna) is a mergeable bounded-memory
+    * sketch whose partials combine map-side like any aggregate. The
+    * estimate is engine-specific, so the gate follows a8's pattern: the
+    * hash-gated columns are the EXACT quantiles plus booleans bounding the
+    * sketch's relative error at 5 % (the oracle pins them TRUE) — estimate
+    * drift flips a boolean and fails the hash. */
+  def a12ApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, array(0.5D, 0.9D))").as("__q"),
+        expr("approx_percentile(n_chars, array(0.5D, 0.9D), 1000)").as("__a"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"),
+        graft.operators.Relational.round4(element_at(col("__q"), 1)).as("p50"),
+        graft.operators.Relational.round4(element_at(col("__q"), 2)).as("p90"),
+        col("n_docs"),
+        (abs(element_at(col("__a"), 1) - element_at(col("__q"), 1)) <=
+          lit(0.05) * element_at(col("__q"), 1)).as("ok_p50"),
+        (abs(element_at(col("__a"), 2) - element_at(col("__q"), 2)) <=
+          lit(0.05) * element_at(col("__q"), 2)).as("ok_p90"))
+      .orderBy(col("lang"))
 }
