@@ -394,7 +394,11 @@ object Similarity {
     * (order-independent, oracle-exact); ranking is (adc asc, n_id asc).
     * Scale: the LUT is |queries|·m·k rows — broadcast; the corpus side is
     * one scan of the code table + one per-query top-k window; nothing is
-    * ever |corpus|×|queries| floats. */
+    * ever |corpus|×|queries| floats. The (q_id, n_id) AGGREGATE is still
+    * corpus×queries small ints — exhaustive ADC by definition; the
+    * probed-cells composition that bounds it to nprobe·|cell|·|queries|
+    * is [[ivfPqSearch]] (raw codes) / [[ivfAdcResidualSearch]]
+    * (residual codes). */
   def pqAdcSearch(
       corpus: DataFrame, queries: DataFrame,
       m: Int, k: Int, rounds: Int, dims: Int, topK: Int): DataFrame = {
