@@ -132,6 +132,69 @@ object Catalog {
     }.mkString(",\n")
   }
 
+  /** Shared WITH body for the full-IVFADC oracles (e17 search, e18
+    * recall): coarse chain → residual CTE → residual subspace chains →
+    * per-probed-cell LUT → (cell, sub, code) scoring join, ending at the
+    * ranked `r`. The `q`/`v` CTEs stay visible for e18's brute-force
+    * truth. */
+  private val ivfadcCtes: String = {
+    val m = SimilarityQueries.PqM
+    val r = SimilarityQueries.PqRounds
+    val sub = 64 / m
+    val kr = SimilarityQueries.KmeansRounds
+    val residCtes = (0 until m).map { s =>
+      kmeansCtes(SimilarityQueries.PqK, r, sub,
+        sfx = s"_r$s", vecSql = s"(embedding)[${s * sub + 1}:${(s + 1) * sub}]",
+        src = "resid")
+    }.mkString(",\n")
+    val books = (0 until m).map(s =>
+      s"SELECT $s AS sub, cluster, c FROM c${r}_r$s").mkString("\n  UNION ALL ")
+    val qs = (0 until m).map(s =>
+      s"SELECT q_id, q_cell, $s AS sub, (qe)[${s * sub + 1}:${(s + 1) * sub}] AS qe FROM qr")
+      .mkString("\n  UNION ALL ")
+    val codes = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS sub, cluster AS code FROM af_r$s").mkString("\n  UNION ALL ")
+    s"""$kmCtes,
+      |resid AS (SELECT v.vec_id,
+      |    list_transform(generate_series(CAST(1 AS BIGINT), CAST(64 AS BIGINT)),
+      |      i -> v.v[i] - c.c[i]) AS embedding
+      |  FROM v JOIN af USING (vec_id) JOIN c$kr c ON af.cluster = c.cluster),
+      |$residCtes,
+      |cn AS (SELECT cluster, c, sqrt(list_dot_product(c, c)) AS cent_norm
+      |  FROM c$kr),
+      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
+      |  FROM embeddings WHERE vec_id < 10),
+      |pr AS (SELECT q_id, qe, cluster,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY list_dot_product(qe, c) / (q_norm * cent_norm) DESC, cluster) AS prank
+      |  FROM q, cn),
+      |qr AS (SELECT p.q_id, p.cluster AS q_cell,
+      |    list_transform(generate_series(CAST(1 AS BIGINT), CAST(64 AS BIGINT)),
+      |      i -> p.qe[i] - c.c[i]) AS qe
+      |  FROM (SELECT q_id, qe, cluster FROM pr WHERE prank <= 2) p
+      |  JOIN c$kr c ON p.cluster = c.cluster),
+      |books AS (
+      |  $books),
+      |qs AS (
+      |  $qs),
+      |lut AS (SELECT q_id, q_cell, sub, cluster AS code,
+      |    CAST(floor((list_dot_product(qe, qe) - 2 * list_dot_product(qe, c)
+      |      + list_dot_product(c, c)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS part
+      |  FROM qs JOIN books USING (sub)),
+      |codes AS (
+      |  $codes),
+      |cellcodes AS (SELECT cd.vec_id, af.cluster AS cell, cd.sub, cd.code
+      |  FROM codes cd JOIN af ON cd.vec_id = af.vec_id),
+      |sc AS (SELECT l.q_id, cc.vec_id AS n_id, CAST(sum(l.part) AS DOUBLE) AS adc
+      |  FROM cellcodes cc
+      |  JOIN lut l ON cc.cell = l.q_cell AND cc.sub = l.sub AND cc.code = l.code
+      |  WHERE l.q_id <> cc.vec_id GROUP BY 1, 2),
+      |r AS (SELECT q_id, n_id, adc,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS INT) AS rank
+      |  FROM sc)""".stripMargin
+  }
+
   private val pqSelect: String =
     (0 until SimilarityQueries.PqM).map { s =>
       s"""SELECT vec_id, $s AS sub, cluster AS code,
@@ -1312,65 +1375,26 @@ object Catalog {
     // codes; each query builds one residual LUT per probed cell; the ADC
     // join is keyed on (cell, sub, code) exactly as e15
     QuerySpec("e17_ivfadc_search", SimilarityQueries.e17IvfadcSearch,
-      Some {
-        val m = SimilarityQueries.PqM
-        val r = SimilarityQueries.PqRounds
-        val sub = 64 / m
-        val kr = SimilarityQueries.KmeansRounds
-        val residCtes = (0 until m).map { s =>
-          kmeansCtes(SimilarityQueries.PqK, r, sub,
-            sfx = s"_r$s", vecSql = s"(embedding)[${s * sub + 1}:${(s + 1) * sub}]",
-            src = "resid")
-        }.mkString(",\n")
-        val books = (0 until m).map(s =>
-          s"SELECT $s AS sub, cluster, c FROM c${r}_r$s").mkString("\n  UNION ALL ")
-        val qs = (0 until m).map(s =>
-          s"SELECT q_id, q_cell, $s AS sub, (qe)[${s * sub + 1}:${(s + 1) * sub}] AS qe FROM qr")
-          .mkString("\n  UNION ALL ")
-        val codes = (0 until m).map(s =>
-          s"SELECT vec_id, $s AS sub, cluster AS code FROM af_r$s").mkString("\n  UNION ALL ")
-        s"""WITH $kmCtes,
-          |resid AS (SELECT v.vec_id,
-          |    list_transform(generate_series(CAST(1 AS BIGINT), CAST(64 AS BIGINT)),
-          |      i -> v.v[i] - c.c[i]) AS embedding
-          |  FROM v JOIN af USING (vec_id) JOIN c$kr c ON af.cluster = c.cluster),
-          |$residCtes,
-          |cn AS (SELECT cluster, c, sqrt(list_dot_product(c, c)) AS cent_norm
-          |  FROM c$kr),
-          |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
-          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
-          |  FROM embeddings WHERE vec_id < 10),
-          |pr AS (SELECT q_id, qe, cluster,
-          |    row_number() OVER (PARTITION BY q_id
-          |      ORDER BY list_dot_product(qe, c) / (q_norm * cent_norm) DESC, cluster) AS prank
-          |  FROM q, cn),
-          |qr AS (SELECT p.q_id, p.cluster AS q_cell,
-          |    list_transform(generate_series(CAST(1 AS BIGINT), CAST(64 AS BIGINT)),
-          |      i -> p.qe[i] - c.c[i]) AS qe
-          |  FROM (SELECT q_id, qe, cluster FROM pr WHERE prank <= 2) p
-          |  JOIN c$kr c ON p.cluster = c.cluster),
-          |books AS (
-          |  $books),
-          |qs AS (
-          |  $qs),
-          |lut AS (SELECT q_id, q_cell, sub, cluster AS code,
-          |    CAST(floor((list_dot_product(qe, qe) - 2 * list_dot_product(qe, c)
-          |      + list_dot_product(c, c)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS part
-          |  FROM qs JOIN books USING (sub)),
-          |codes AS (
-          |  $codes),
-          |cellcodes AS (SELECT cd.vec_id, af.cluster AS cell, cd.sub, cd.code
-          |  FROM codes cd JOIN af ON cd.vec_id = af.vec_id),
-          |sc AS (SELECT l.q_id, cc.vec_id AS n_id, CAST(sum(l.part) AS DOUBLE) AS adc
-          |  FROM cellcodes cc
-          |  JOIN lut l ON cc.cell = l.q_cell AND cc.sub = l.sub AND cc.code = l.code
-          |  WHERE l.q_id <> cc.vec_id GROUP BY 1, 2),
-          |r AS (SELECT q_id, n_id, adc,
-          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS INT) AS rank
-          |  FROM sc)
-          |SELECT q_id, n_id, rank, adc FROM r WHERE rank <= 5
-          |ORDER BY q_id, rank""".stripMargin
-      }),
+      Some(s"""WITH $ivfadcCtes
+        |SELECT q_id, n_id, rank, adc FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin)),
+
+    // IVFADC evaluation: e17's ranked result joined against brute-force
+    // EUCLIDEAN truth per (q_id, n_id) — ADC approximates squared L2, so
+    // the truth metric is L2; e12's recall tail otherwise
+    QuerySpec("e18_ivfadc_recall", SimilarityQueries.e18IvfadcRecall,
+      Some(s"""WITH $ivfadcCtes,
+        |approx AS (SELECT q_id, n_id FROM r WHERE rank <= 5),
+        |bs AS (SELECT q.q_id, v.vec_id AS n_id,
+        |    list_dot_product(qe, qe) - 2 * list_dot_product(qe, v.v) + v.dxx AS d2
+        |  FROM q, v WHERE q.q_id <> v.vec_id),
+        |truth AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id) AS rank
+        |  FROM bs) t WHERE rank <= 5)
+        |SELECT t.q_id, count(*) AS n_truth, count(a.n_id) AS n_hit,
+        |  floor(count(a.n_id) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS recall
+        |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
+        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
 
     QuerySpec("e9_kmeans_assign", SimilarityQueries.e9KmeansAssign,
       Some(s"""WITH $kmCtes

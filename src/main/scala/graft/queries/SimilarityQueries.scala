@@ -326,6 +326,48 @@ object SimilarityQueries {
       topK = 5, nprobe = 2)
       .orderBy(col("q_id"), col("rank"))
 
+  /** Recall@5 of the full IVFADC search (e17) against brute-force
+    * EUCLIDEAN truth — ADC approximates squared L2, so the truth ranking
+    * must be L2 too (grading an L2 search against cosine truth would
+    * conflate metric mismatch with quantization loss). Mirrors
+    * [[e12RecallAtK]] for the PQ path; both sides are tiny ranked lists,
+    * the compare join broadcasts. */
+  def e18IvfadcRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity.{ivfAdcResidualSearch, dot}
+    val c = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("n_id"),
+        col("embedding").cast("array<double>").as("n_emb"))
+      .withColumn("n_dxx", dot(col("n_emb"), col("n_emb")))
+    val q = queriesSide(s, d)
+      .select(col("vec_id").as("tq_id"),
+        col("embedding").cast("array<double>").as("tq_emb"))
+      .withColumn("tq_dxx", dot(col("tq_emb"), col("tq_emb")))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tq_id")).orderBy(col("d2").asc, col("n_id").asc)
+    val truth = c
+      .join(broadcast(q), col("tq_id") =!= col("n_id"))
+      .withColumn("d2", col("tq_dxx")
+        - lit(2.0) * dot(col("tq_emb"), col("n_emb")) + col("n_dxx"))
+      .withColumn("trank", row_number().over(wt))
+      .filter(col("trank") <= 5)
+      .select(col("tq_id").as("q_id"), col("n_id"))
+    val approx = ivfAdcResidualSearch(
+      Tables.embeddings(s, d), queriesSide(s, d),
+      KmeansK, KmeansRounds, PqM, PqK, PqRounds, KmeansDims,
+      topK = 5, nprobe = 2)
+      .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+    truth
+      .join(broadcast(approx),
+        col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"), count(col("a_n")).as("n_hit"))
+      .select(col("q_id"), col("n_truth"), col("n_hit"),
+        graft.operators.Relational.round4(
+          col("n_hit").cast("double") / col("n_truth")).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles
