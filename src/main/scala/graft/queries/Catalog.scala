@@ -1064,6 +1064,76 @@ object Catalog {
         |  TRUE AS ok_p90
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // PQ geometry dial: exhaustive ADC under m=2 (chains _p*) and m=4
+    // (chains _q*) against one shared L2 truth; corpus-mean recalls and a
+    // MEASURED finer_wins comparison (not an invariant: on isotropic data
+    // the independence violation can beat the added capacity -- the OPQ
+    // motivation), replayed identically by the oracle
+    QuerySpec("e19_pq_dial", SimilarityQueries.e19PqDial,
+      Some {
+        val rounds = SimilarityQueries.PqRounds
+        val m4Ctes = (0 until 4).map { s =>
+          kmeansCtes(SimilarityQueries.PqK, rounds, 16,
+            sfx = s"_q$s", vecSql = s"(embedding::DOUBLE[])[${s * 16 + 1}:${(s + 1) * 16}]")
+        }.mkString(",\n")
+        def adcPipe(tag: String, m: Int, sfx: Int => String): String = {
+          val sub = 64 / m
+          val books = (0 until m).map(s =>
+            s"SELECT $s AS sub, cluster, c FROM c$rounds${sfx(s)}").mkString("\n  UNION ALL ")
+          val qsq = (0 until m).map(s =>
+            s"""SELECT vec_id AS q_id, $s AS sub,
+               |    (embedding::DOUBLE[])[${s * sub + 1}:${(s + 1) * sub}] AS qe
+               |  FROM embeddings WHERE vec_id < 10""".stripMargin)
+            .mkString("\n  UNION ALL ")
+          val codes = (0 until m).map(s =>
+            s"SELECT vec_id, $s AS sub, cluster AS code FROM af${sfx(s)}").mkString("\n  UNION ALL ")
+          s"""books$tag AS (
+             |  $books),
+             |qs$tag AS (
+             |  $qsq),
+             |lut$tag AS (SELECT q_id, sub, cluster AS code,
+             |    CAST(floor((list_dot_product(qe, qe) - 2 * list_dot_product(qe, c)
+             |      + list_dot_product(c, c)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS part
+             |  FROM qs$tag JOIN books$tag USING (sub)),
+             |codes$tag AS (
+             |  $codes),
+             |sc$tag AS (SELECT l.q_id, cd.vec_id AS n_id, CAST(sum(l.part) AS DOUBLE) AS adc
+             |  FROM codes$tag cd JOIN lut$tag l ON cd.sub = l.sub AND cd.code = l.code
+             |  WHERE l.q_id <> cd.vec_id GROUP BY 1, 2),
+             |ap$tag AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rank
+             |  FROM sc$tag) t WHERE rank <= 5)""".stripMargin
+        }
+        def recallTail(tag: String): String =
+          s"""rec$tag AS (SELECT t.q_id,
+             |    CAST(floor(count(a.n_id) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS r
+             |  FROM truth t LEFT JOIN ap$tag a ON t.q_id = a.q_id AND t.n_id = a.n_id
+             |  GROUP BY t.q_id),
+             |mr$tag AS (SELECT floor(CAST(sum(r) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS mean_recall
+             |  FROM rec$tag)""".stripMargin
+        s"""WITH $pqCtes,
+          |$m4Ctes,
+          |${adcPipe("2", 2, s => s"_p$s")},
+          |${adcPipe("4", 4, s => s"_q$s")},
+          |tv AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS dxx
+          |  FROM embeddings),
+          |tq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
+          |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS qdxx
+          |  FROM embeddings WHERE vec_id < 10),
+          |bs AS (SELECT tq.q_id, tv.vec_id AS n_id,
+          |    qdxx - 2 * list_dot_product(qe, tv.v) + tv.dxx AS d2
+          |  FROM tq, tv WHERE tq.q_id <> tv.vec_id),
+          |truth AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id) AS rank
+          |  FROM bs) t WHERE rank <= 5),
+          |${recallTail("2")},
+          |${recallTail("4")}
+          |SELECT m2.mean_recall AS mean_recall_m2, m4.mean_recall AS mean_recall_m4,
+          |  m4.mean_recall >= m2.mean_recall AS finer_wins
+          |FROM mr2 m2, mr4 m4""".stripMargin
+      }),
+
     // ------------------------------------------------ embeddings pipeline
 
     QuerySpec("e1_knn_brute", SimilarityQueries.e1KnnBrute,

@@ -368,6 +368,54 @@ object SimilarityQueries {
       .orderBy(col("q_id"))
   }
 
+  /** PQ geometry dial, measured: exhaustive-ADC recall@5 against Euclidean
+    * truth for m = 2 (6-bit codes) vs m = 4 (12-bit codes) on the same
+    * corpus, as ONE row of corpus-level means. `finer_wins` is a MEASURED
+    * comparison, not an asserted invariant: finer slicing adds code
+    * capacity but also strengthens the subspace-independence assumption
+    * ADC relies on, and on isotropic embeddings the violation can
+    * outweigh the capacity (the phenomenon that motivates OPQ's learned
+    * rotation, Ge et al. 2013) — on this synthetic corpus m=4 indeed
+    * loses. The oracle replays both geometries and must land on the same
+    * means and the same flag. */
+  def e19PqDial(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity.{pqAdcSearch, dot}
+    val c = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("n_id"),
+        col("embedding").cast("array<double>").as("n_emb"))
+      .withColumn("n_dxx", dot(col("n_emb"), col("n_emb")))
+    val q = queriesSide(s, d)
+      .select(col("vec_id").as("tq_id"),
+        col("embedding").cast("array<double>").as("tq_emb"))
+      .withColumn("tq_dxx", dot(col("tq_emb"), col("tq_emb")))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tq_id")).orderBy(col("d2").asc, col("n_id").asc)
+    val truth = c
+      .join(broadcast(q), col("tq_id") =!= col("n_id"))
+      .withColumn("d2", col("tq_dxx")
+        - lit(2.0) * dot(col("tq_emb"), col("n_emb")) + col("n_dxx"))
+      .withColumn("trank", row_number().over(wt))
+      .filter(col("trank") <= 5)
+      .select(col("tq_id").as("q_id"), col("n_id"))
+    def meanRecall(m: Int): DataFrame =
+      truth
+        .join(broadcast(
+          pqAdcSearch(Tables.embeddings(s, d), queriesSide(s, d),
+            m, PqK, PqRounds, KmeansDims, 5)
+            .select(col("q_id").as("a_q"), col("n_id").as("a_n"))),
+          col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+        .groupBy(col("q_id"))
+        .agg(graft.operators.Relational.round4(
+          count(col("a_n")).cast("double") / count(lit(1)))
+          .cast("decimal(18,4)").as("r"))
+        .agg(graft.operators.Relational.round4(
+          sum(col("r")).cast("double") / count(lit(1))).as("mean_recall"))
+    meanRecall(2).select(col("mean_recall").as("mean_recall_m2"))
+      .crossJoin(meanRecall(4).select(col("mean_recall").as("mean_recall_m4")))
+      .withColumn("finer_wins", col("mean_recall_m4") >= col("mean_recall_m2"))
+  }
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles
