@@ -55,6 +55,10 @@ case class TopKByCount(
 
   @transient private lazy val keyOrd =
     TypeUtils.getInterpretedOrdering(keyType)
+  // one projection per operator instance, not per serialize() call — the
+  // generated-class cache makes repeat creates cheap, not free
+  @transient private lazy val serProj =
+    UnsafeProjection.create(Array[DataType](structType))
   @transient private lazy val cmp: Ordering[InternalRow] =
     new Ordering[InternalRow] {
       override def compare(a: InternalRow, b: InternalRow): Int = {
@@ -120,11 +124,10 @@ case class TopKByCount(
     new GenericArrayData(buf.sorted(cmp).take(k).toArray[Any])
 
   override def serialize(buf: mutable.ArrayBuffer[InternalRow]): Array[Byte] = {
-    val proj = UnsafeProjection.create(Array[DataType](structType))
     val out = new java.io.ByteArrayOutputStream()
     val data = new java.io.DataOutputStream(out)
     trim(buf, k).foreach { row =>
-      val unsafe = proj(InternalRow(row))
+      val unsafe = serProj(InternalRow(row))
       val bytes = unsafe.getBytes
       data.writeInt(bytes.length)
       data.write(bytes)

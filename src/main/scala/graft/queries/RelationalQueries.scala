@@ -193,7 +193,11 @@ object RelationalQueries {
   def a11TopkAgg(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
+    // a1's single-exchange idiom: HashPartitioning(custkey) satisfies the
+    // count aggregate's (custkey, partkey) clustering by the subset rule
+    // AND the top-k aggregate's custkey clustering — one shuffle for both
     val counted = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .repartition(col("o_custkey"))
       .groupBy(col("o_custkey"), col("l_partkey"))
       .agg(count(lit(1)).as("cnt"))
     counted
