@@ -21,7 +21,12 @@ class CacheLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
     val sharing = Seq("d2_minhash_pairs", "d3_jaccard_dupes", "d5_simhash_pairs",
       "d6_dup_clusters", "c1_corpus_pipeline", "t9_tfidf", "x4_small_qty_revenue",
-      "e9_kmeans_assign", "e13_pq_codes", "e14_adc_search", "a9_cms_topk")
+      "e9_kmeans_assign", "e13_pq_codes", "e14_adc_search", "a9_cms_topk",
+      // round 5: the residual/IVFADC compositions checkpoint residual
+      // corpora and labeled bases; c5 additionally drives the component
+      // iteration's persisted edge list
+      "e15_ivf_pq_search", "e16_residual_pq", "e17_ivfadc_search",
+      "c5_semantic_dedup")
     for (name <- sharing) {
       Catalog.queries(name)(spark, dir).collect()
       assert(spark.sharedState.cacheManager.isEmpty,

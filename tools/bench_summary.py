@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Render bench run(s) into a committed per-round summary.
+
+Usage: python3 tools/bench_summary.py <round> <prior.json|-> <run.json> [run.json ...]
+
+Writes BENCH_SUMMARY_r<round>.md with the full per-query table (so the
+committed record never depends on log-line truncation). Multiple run files
+are combined per-query by MIN: this host shows bursty hypervisor CPU steal
+(documented in Bench.scala), so the minimum over interleaved full passes
+measures the engine, not the noise — the same reasoning Bench itself uses
+for its in-run best-of-N. Pass `-` for prior to skip the comparison.
+"""
+import json
+import sys
+
+
+def main() -> int:
+    rnd = sys.argv[1]
+    prior = {} if sys.argv[2] == "-" else json.load(open(sys.argv[2]))["queries"]
+    runs = [json.load(open(p)) for p in sys.argv[3:]]
+    meta = runs[-1]
+    qs = {}
+    for r in runs:
+        for k, v in r["queries"].items():
+            qs[k] = min(v, qs[k]) if k in qs else v
+    reps = sum(r.get("reps", 1) for r in runs if k in r["queries"])
+    total = sum(qs.values())
+    lines = [
+        f"# BENCH_SUMMARY — round {rnd}",
+        "",
+        f"Per-query MIN over {len(runs)} full run(s) × best-of-"
+        f"{meta.get('reps', '?')} passes each, `local[{meta.get('cpus', 32)}]`, "
+        f"sf dir `{meta.get('sf')}` (min-of-runs because this host shows "
+        f"bursty hypervisor CPU steal; see Bench.scala). Total "
+        f"**{total:.1f} s** over **{len(qs)} queries**; "
+        f"failed: {sorted(set(sum((r.get('failed', []) for r in runs), [])))}.",
+        "",
+    ]
+    if prior:
+        shared = sorted(set(qs) & set(prior))
+        tot_new = sum(qs[k] for k in shared)
+        tot_old = sum(prior[k] for k in shared)
+        lines += [
+            f"Shared subset vs prior round: **{len(shared)} queries**, "
+            f"{tot_old:.1f} s → {tot_new:.1f} s "
+            f"(**{tot_new / tot_old:.2f}×**).",
+            "",
+        ]
+    lines += ["| query | sec |" + (" prior | Δ |" if prior else ""),
+              "|---|---|" + ("---|---|" if prior else "")]
+    for k in sorted(qs):
+        row = f"| {k} | {qs[k]:.2f} |"
+        if prior:
+            if k in prior:
+                row += f" {prior[k]:.2f} | {qs[k] - prior[k]:+.2f} |"
+            else:
+                row += " new | — |"
+        lines.append(row)
+    out = f"BENCH_SUMMARY_r{rnd}.md"
+    open(out, "w").write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
