@@ -310,6 +310,19 @@ object Catalog {
         |        GROUP BY o_custkey, l_partkey) c) r
         |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin)),
 
+    // fuzzy entity matching: dedupe to the name dictionary, block on the
+    // first token, verify with exact Levenshtein <= 3 — identical integer
+    // edit-distance semantics on both engines
+    QuerySpec("x7_fuzzy_match", RelationalQueries.x7FuzzyMatch,
+      Some("""WITH n AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name),
+        |b AS (SELECT p_name, n_parts, string_split(p_name, ' ')[1] AS blk FROM n)
+        |SELECT a.p_name AS name1, c.p_name AS name2,
+        |  levenshtein(a.p_name, c.p_name) AS dist,
+        |  a.n_parts AS parts1, c.n_parts AS parts2
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        |WHERE levenshtein(a.p_name, c.p_name) <= 3
+        |ORDER BY name1, name2""".stripMargin)),
+
     QuerySpec("a2_capacity_ledger", RelationalQueries.a2CapacityLedger,
       Some("""SELECT user_id, event_id, seq,
         |  CASE WHEN seq <= 5 THEN 'CONFIRMED' ELSE 'REJECTED' END AS status,
