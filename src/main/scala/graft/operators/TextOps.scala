@@ -168,6 +168,42 @@ object TextOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Cross-corpus NEAR-duplicate decontamination — [[decontaminationPairs]]'
+    * fuzzy sibling: exact shared-shingle counting misses paraphrase-level
+    * leakage, so this one runs banded MinHash ACROSS the corpora (train
+    * bands stream, eval bands broadcast — benchmarks are MBs, corpora TBs)
+    * and verifies candidates with exact Jaccard ≥ `threshold`.
+    *
+    * Plan: one shingle pass per corpus, each materialized once (it feeds
+    * both the banding and the verify join); the candidate join is map-side
+    * against the broadcast eval bands, so no train-side shuffle exists
+    * anywhere; candidates (tiny by LSH construction) broadcast through the
+    * two verify joins. Banding is deterministic given the fixed hash
+    * family, so the result — including which sub-threshold-banding pairs
+    * are surfaced — is oracle-reproducible. */
+  def crossCorpusNearDups(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val tsh = shingleFrame(train, idCol, textCol).localCheckpoint(true)
+    val esh = shingleFrame(eval, idCol, textCol).localCheckpoint(true)
+    val tb = bandsFromShingles(tsh, numHashes, rowsPerBand)
+      .select(col("doc_id").as("train_id"), col("band"), col("bk"))
+    val eb = bandsFromShingles(esh, numHashes, rowsPerBand)
+      .select(col("doc_id").as("eval_id"), col("band"), col("bk"))
+    val cands = tb.join(broadcast(eb), Seq("band", "bk"))
+      .select(col("train_id"), col("eval_id")).distinct()
+    broadcast(cands)
+      .join(tsh.select(col("doc_id").as("train_id"), col("sh").as("__tsh")),
+        Seq("train_id"))
+      .join(broadcast(esh.select(col("doc_id").as("eval_id"), col("sh").as("__esh"))),
+        Seq("eval_id"))
+      .withColumn("__j", jaccard(col("__tsh"), col("__esh")))
+      .filter(col("__j") >= threshold)
+      .select(col("train_id"), col("eval_id"),
+        Relational.round4(col("__j")).as("jaccard"))
+  }
+
   /** (doc_id, band, bk) rows: one per LSH band per doc. Each intermediate
     * (tokens, shingles, signature components) is projected once so the
     * interpreted lambdas never re-evaluate an upstream subtree. */

@@ -73,6 +73,36 @@ object Catalog {
        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Parameterized MinHash band chain for CROSS-corpus use (d9): the same
+    * shingle → md5 base hash → k universal hashes → ':'-concat band keys
+    * as [[minhashCtes]], but over `documents WHERE $where` (no canonical
+    * collapse — the cross split separates exact dups by construction) and
+    * with every CTE suffixed so two chains compose in one WITH. */
+  private def minhashBandCtes(sfx: String, where: String): String = {
+    val p = graft.operators.TextOps.MinhashP
+    val sigCols = (0 until numHashes).map { i =>
+      val a = graft.operators.TextOps.minhashA(i)
+      val b = graft.operators.TextOps.minhashB(i)
+      s"list_min(list_transform(hs, h -> (h * ${a} + ${b}) % ${p})) AS mh$i"
+    }.mkString(",\n  ")
+    val bandRows = (0 until numHashes / rowsPerBand).map { j =>
+      val cat = (j * rowsPerBand until (j + 1) * rowsPerBand)
+        .map(i => s"mh$i").mkString(" || ':' || ")
+      s"SELECT doc_id, $j AS band, md5($cat) AS bk FROM sigs$sfx"
+    }.mkString("\n  UNION ALL ")
+    s"""tk$sfx AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE $where),
+       |shx$sfx AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |  THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |  ELSE []::VARCHAR[] END) AS sh FROM tk$sfx),
+       |hsx$sfx AS (SELECT doc_id, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM shx$sfx),
+       |sigs$sfx AS (SELECT doc_id,
+       |  $sigCols
+       |FROM hsx$sfx),
+       |bands$sfx AS (
+       |  $bandRows)""".stripMargin
+  }
+
   /** Unrolled Lloyd-iteration CTE chain mirroring
     * [[graft.operators.Similarity.kmeans]]: c0 = round4'd first-k vectors;
     * per round r, a_r = argmin assignment against c_(r-1) (the same
@@ -666,6 +696,22 @@ object Catalog {
         |GROUP BY train_id, eval_id
         |HAVING count(*) >= 3
         |ORDER BY train_id, eval_id""".stripMargin)),
+
+    // cross-corpus NEAR-dup decontamination: two banded chains (train /
+    // eval splits), candidates where any band key matches across corpora,
+    // exact-Jaccard verify at >= 0.5 — banding replayed by the oracle, so
+    // even which pairs the fixed hash family surfaces is gated
+    QuerySpec("d9_cross_neardups", TextQueries.d9CrossNearDups,
+      Some(s"""WITH ${minhashBandCtes("_t", "doc_id % 25 <> 0")},
+        |${minhashBandCtes("_e", "doc_id % 25 = 0")},
+        |cands AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+        |  FROM bands_t t JOIN bands_e e ON t.band = e.band AND t.bk = e.bk)
+        |SELECT train_id, eval_id, floor(j * 10000 + 0.5) / 10000 AS jaccard FROM (
+        |  SELECT train_id, eval_id,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))::DOUBLE) AS j
+        |  FROM cands JOIN shx_t a ON train_id = a.doc_id JOIN shx_e b ON eval_id = b.doc_id) t
+        |WHERE j >= 0.5 ORDER BY train_id, eval_id""".stripMargin)),
 
     // banded 32-bit shingle simhash pairs (SimHashSig): same md5 base hash
     // as minhash, ±1 vote per shingle per bit, banded 4×8 bits (pigeonhole:

@@ -139,6 +139,20 @@ object TextQueries {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Cross-corpus NEAR-dup decontamination over the d7 split: banded
+    * MinHash between train (doc_id % 25 ≠ 0) and eval (% 25 = 0) sides,
+    * exact-Jaccard-verified at ≥ 0.5 — catches the paraphrase-level
+    * leakage d7's exact shared-shingle count misses
+    * ([[graft.operators.TextOps.crossCorpusNearDups]]). */
+  def d9CrossNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.TextOps.crossCorpusNearDups(
+      docs.filter(pmod(col("doc_id"), lit(25)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(25)) === 0),
+      "doc_id", "text")
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   /** Near-duplicate pairs by banded SimHash + exact hamming verify — the
     * third dedup modality (exact d1, shingle-Jaccard d2/d3, bit-signature
     * here): catches token-permutation near-dups that shingling misses. */
