@@ -49,4 +49,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("d2_minhash_pairs")
     assert(!p.contains("CartesianProduct"), "LSH banding degenerated to all-pairs")
   }
+
+  test("NO catalog query plans a CartesianProduct (broadcast NLJ of tiny frames is the only cross-join form)") {
+    // planning only — no execution — so the whole catalog sweeps in
+    // seconds; every deliberate crossJoin in this repo is
+    // crossJoin(broadcast(tiny)) which compiles to
+    // BroadcastNestedLoopJoin, never CartesianProduct
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct found in: ${offenders.mkString(", ")}")
+  }
 }
