@@ -50,6 +50,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "LSH banding degenerated to all-pairs")
   }
 
+  test("hot scan paths stay inside WholeStageCodegen") {
+    // the custom expressions exist precisely to keep per-row work codegen'd;
+    // a plan that loses its WholeStageCodegen spans has fallen back to
+    // interpreted eval somewhere load-bearing
+    // AQE's pre-execution formatted plan carries no codegen annotations
+    // (WholeStageCodegen wraps when the adaptive plan actually runs), so
+    // this one check plans with AQE off; codegen'd operators then carry
+    // "[codegen id : N]"
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("q1_pricing_summary", "e1_knn_brute", "d1_exact_dedup",
+        "t1_lang_id", "a11_topk_agg")) {
+        assert(plan(name).contains("codegen id :"),
+          s"$name has no WholeStageCodegen span")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("NO catalog query plans a CartesianProduct (broadcast NLJ of tiny frames is the only cross-join form)") {
     // planning only — no execution — so the whole catalog sweeps in
     // seconds; every deliberate crossJoin in this repo is
