@@ -79,12 +79,17 @@ object Bench {
     println(line)
     // also persist the full line: the driver's log capture has truncated
     // the head of long JSON lines, losing per-query timings — the file is
-    // the committed record (overridable for ad-hoc runs)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    // the committed record. A FILTERED run (SPARK_GRAFT_ONLY) must not
+    // silently clobber the committed full-catalog record, so it writes
+    // only when SPARK_GRAFT_BENCH_OUT names a destination explicitly.
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
+    outFile.foreach { f =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

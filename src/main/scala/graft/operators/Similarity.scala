@@ -447,43 +447,42 @@ object Similarity {
     * (identical to [[knnIVFMultiProbeLearned]]); ADC partials are
     * display-rounded then decimal-summed, so distributed order cannot
     * perturb the gate. */
-  def ivfPqSearch(
-      corpus: DataFrame, queries: DataFrame,
-      coarseK: Int, coarseRounds: Int,
-      m: Int, k: Int, rounds: Int, dims: Int,
-      topK: Int, nprobe: Int): DataFrame = {
-    val subLen = dims / m
-    val (assigned, centroids) = kmeans(corpus, coarseK, coarseRounds, dims)
-    val (codes, books) = pqModel(corpus, m, k, rounds, dims)
+  /** Each query's nprobe nearest coarse cells by centroid cosine (the
+    * probe ranking every IVF search here shares), carrying the probed
+    * cell's centroid so residual-encoding callers can subtract it. */
+  private def probeCells(
+      centroids: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
     val cent = centroids.withColumn("cent_norm", norm(col("c")))
     val q = queries
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", norm(col("q_emb")))
     val wp = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster").asc)
-    val probed = q
-      .crossJoin(broadcast(cent))
+    q.crossJoin(broadcast(cent))
       .withColumn("csim", dot(col("q_emb"), col("c")) / (col("q_norm") * col("cent_norm")))
       .withColumn("prank", row_number().over(wp))
       .filter(col("prank") <= nprobe)
-      .select(col("q_id"), col("cluster").as("q_cell"))
-    val qSub = (0 until m).map { s =>
-      queries.select(col("vec_id").as("q_id"),
-        slice(col("embedding"), s * subLen + 1, subLen)
-          .cast("array<double>").as("qe"), lit(s).as("sub"))
-    }.reduce(_ unionAll _)
-    val lut = qSub
-      .join(books.withColumn("dcc", dot(col("c"), col("c"))), "sub")
-      .select(col("q_id"), col("sub"), col("cluster").as("code"),
-        Relational.round4(dot(col("qe"), col("qe"))
-          - lit(2.0) * dot(col("qe"), col("c")) + col("dcc"))
-          .cast("decimal(18,4)").as("part"))
-    // LUT entries tagged with their query's probed cells: the broadcast
-    // probe table whose (q_cell, sub, code) key prunes at the join
-    val lutCells = probed.join(lut, Seq("q_id"))
-      .select(col("q_id"), col("q_cell"), col("sub").as("l_sub"),
-        col("code").as("l_code"), col("part"))
-    val cellCodes = codes
-      .join(assigned.select(col("vec_id"), col("cluster").as("cell")), Seq("vec_id"))
+      .select(col("q_id"), col("q_emb"), col("cluster").as("q_cell"), col("c"))
+  }
+
+  /** One ADC lookup-table partial: ‖qe‖² − 2·qe·c + ‖c‖², display-rounded
+    * then decimal-cast so the downstream sum is order-independent. */
+  private def adcPart(qe: Column, c: Column, dcc: Column): Column =
+    Relational.round4(dot(qe, qe) - lit(2.0) * dot(qe, c) + dcc)
+      .cast("decimal(18,4)")
+
+  /** Codes with their coarse cell attached — in a production index the
+    * (cell, codes) pair is stored once per vector and this join is free. */
+  private def withCells(codes: DataFrame, assigned: DataFrame): DataFrame =
+    codes.join(assigned.select(col("vec_id"), col("cluster").as("cell")), Seq("vec_id"))
+
+  /** The shared probed-cells ADC scoring tail: join codes to the BROADCAST
+    * per-(query, probed-cell) LUT on (cell, sub, code) — pruning happens
+    * in the join key, map-side — then decimal-sum per (q_id, n_id) and
+    * rank (adc asc, n_id asc). `lutCells` columns: (q_id, q_cell, l_sub,
+    * l_code, part). Any change here must keep both the e15 and e17
+    * oracles hash-exact. */
+  private def adcScoreProbed(
+      cellCodes: DataFrame, lutCells: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
     cellCodes
       .join(broadcast(lutCells),
@@ -496,6 +495,33 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
+  }
+
+  def ivfPqSearch(
+      corpus: DataFrame, queries: DataFrame,
+      coarseK: Int, coarseRounds: Int,
+      m: Int, k: Int, rounds: Int, dims: Int,
+      topK: Int, nprobe: Int): DataFrame = {
+    val subLen = dims / m
+    val (assigned, centroids) = kmeans(corpus, coarseK, coarseRounds, dims)
+    val (codes, books) = pqModel(corpus, m, k, rounds, dims)
+    val probed = probeCells(centroids, queries, nprobe)
+      .select(col("q_id"), col("q_cell"))
+    val qSub = (0 until m).map { s =>
+      queries.select(col("vec_id").as("q_id"),
+        slice(col("embedding"), s * subLen + 1, subLen)
+          .cast("array<double>").as("qe"), lit(s).as("sub"))
+    }.reduce(_ unionAll _)
+    val lut = qSub
+      .join(books.withColumn("dcc", dot(col("c"), col("c"))), "sub")
+      .select(col("q_id"), col("sub"), col("cluster").as("code"),
+        adcPart(col("qe"), col("c"), col("dcc")).as("part"))
+    // LUT entries tagged with their query's probed cells: the broadcast
+    // probe table whose (q_cell, sub, code) key prunes at the join
+    val lutCells = probed.join(lut, Seq("q_id"))
+      .select(col("q_id"), col("q_cell"), col("sub").as("l_sub"),
+        col("code").as("l_code"), col("part"))
+    adcScoreProbed(withCells(codes, assigned), lutCells, topK)
   }
 
   /** Full IVFADC search (Jégou et al. 2011 §III): [[ivfPqSearch]]'s
@@ -524,45 +550,21 @@ object Similarity {
     // would recompute the coarse assignment scan behind residualsFrom
     val resid = residualsFrom(assigned, centroids).localCheckpoint(true)
     val (codes, books) = pqModelFrom(slicedVecs(resid, m, subLen, 0), k, rounds, subLen)
-    val cent = centroids.withColumn("cent_norm", norm(col("c")))
-    val q = queries
-      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
-      .withColumn("q_norm", norm(col("q_emb")))
-    val wp = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cluster").asc)
     // the probe keeps each probed cell's centroid: the query's residual is
     // PER CELL (q − c_cell), one LUT per (query, probed cell)
-    val qr = q
-      .crossJoin(broadcast(cent))
-      .withColumn("csim", dot(col("q_emb"), col("c")) / (col("q_norm") * col("cent_norm")))
-      .withColumn("prank", row_number().over(wp))
-      .filter(col("prank") <= nprobe)
-      .select(col("q_id"), col("cluster").as("q_cell"),
+    val qr = probeCells(centroids, queries, nprobe)
+      .select(col("q_id"), col("q_cell"),
         zip_with(col("q_emb"), col("c"), (x, c) => x - c).as("qe"))
     val qSub = (0 until m).map { s =>
       qr.select(col("q_id"), col("q_cell"),
         slice(col("qe"), s * subLen + 1, subLen).as("qe"), lit(s).as("sub"))
     }.reduce(_ unionAll _)
-    val lut = qSub
+    val lutCells = qSub
       .join(books.withColumn("dcc", dot(col("c"), col("c"))), "sub")
       .select(col("q_id"), col("q_cell"), col("sub").as("l_sub"),
         col("cluster").as("l_code"),
-        Relational.round4(dot(col("qe"), col("qe"))
-          - lit(2.0) * dot(col("qe"), col("c")) + col("dcc"))
-          .cast("decimal(18,4)").as("part"))
-    val cellCodes = codes
-      .join(assigned.select(col("vec_id"), col("cluster").as("cell")), Seq("vec_id"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
-    cellCodes
-      .join(broadcast(lut),
-        col("cell") === col("q_cell") && col("sub") === col("l_sub") &&
-          col("code") === col("l_code"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), col("part"))
-      .groupBy(col("q_id"), col("n_id"))
-      .agg(sum(col("part")).cast("double").as("adc"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
+        adcPart(col("qe"), col("c"), col("dcc")).as("part"))
+    adcScoreProbed(withCells(codes, assigned), lutCells, topK)
   }
 
   /** Coarse-quantizer residuals — the vectors IVFADC actually encodes

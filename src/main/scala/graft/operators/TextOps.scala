@@ -427,8 +427,12 @@ object TextOps {
     * Same determinism ladder as t15: rounded log-probs, decimal
     * accumulation, one final rounded division. */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NO text coalesce here: a null-text doc must contribute NOTHING to
+    // the unigram/vocab statistics (coalescing to '' would inject an ''
+    // token and shift every doc's smoothed log-prob); its output row is
+    // restored by the final left join instead
     val toks = docs.select(col(idCol).as("doc_id"),
-      tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      tokens(col(textCol)).as("__t"))
     val dbf = toks
       .select(col("doc_id"),
         explode(when(size(col("__t")) < 2,
@@ -440,7 +444,7 @@ object TextOps {
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
     val uf = docs
-      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("w1"))
+      .select(explode(tokens(col(textCol))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
     val vocab = uf.agg(count(lit(1)).as("vocab"))
     val wb = org.apache.spark.sql.expressions.Window

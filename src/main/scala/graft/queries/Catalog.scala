@@ -937,8 +937,10 @@ object Catalog {
     // its content appears in >= 2 distinct docs; kept text re-hashed in
     // seg_no order (string_agg FILTER+ORDER BY = Spark's sorted collect of
     // the null-skipped when(); coalesce('') = Spark's empty-array join)
+    // coalesce mirrors the Spark side's keep-the-row contract: a NULL-text
+    // doc becomes one empty segment instead of vanishing from the output
     QuerySpec("d8_span_dedup", TextQueries.d8SpanDedup(_, _),
-      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      Some("""WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
         |sg0 AS (SELECT doc_id, t,
         |    unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS i FROM tk),
         |segs AS (SELECT doc_id, CAST(i AS INT) AS seg_no,

@@ -332,8 +332,13 @@ object SimilarityQueries {
     * conflate metric mismatch with quantization loss). Mirrors
     * [[e12RecallAtK]] for the PQ path; both sides are tiny ranked lists,
     * the compare join broadcasts. */
-  def e18IvfadcRecall(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Similarity.{ivfAdcResidualSearch, dot}
+  /** Brute-force EUCLIDEAN top-k truth — the metric ADC approximates, so
+    * it is what the PQ-family evaluations (e18, e19) grade against.
+    * Same broadcast-queries / per-partition-top-k shape as
+    * [[graft.operators.Similarity.knnBruteForce]], distance
+    * ‖q‖² − 2·q·n + ‖n‖² ranked (asc, n_id). */
+  private def l2Truth(s: SparkSession, d: String, k: Int): DataFrame = {
+    import graft.operators.Similarity.dot
     val c = Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id").as("n_id"),
@@ -345,13 +350,17 @@ object SimilarityQueries {
       .withColumn("tq_dxx", dot(col("tq_emb"), col("tq_emb")))
     val wt = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tq_id")).orderBy(col("d2").asc, col("n_id").asc)
-    val truth = c
-      .join(broadcast(q), col("tq_id") =!= col("n_id"))
+    c.join(broadcast(q), col("tq_id") =!= col("n_id"))
       .withColumn("d2", col("tq_dxx")
         - lit(2.0) * dot(col("tq_emb"), col("n_emb")) + col("n_dxx"))
       .withColumn("trank", row_number().over(wt))
-      .filter(col("trank") <= 5)
+      .filter(col("trank") <= k)
       .select(col("tq_id").as("q_id"), col("n_id"))
+  }
+
+  def e18IvfadcRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity.ivfAdcResidualSearch
+    val truth = l2Truth(s, d, 5)
     val approx = ivfAdcResidualSearch(
       Tables.embeddings(s, d), queriesSide(s, d),
       KmeansK, KmeansRounds, PqM, PqK, PqRounds, KmeansDims,
@@ -379,25 +388,8 @@ object SimilarityQueries {
     * loses. The oracle replays both geometries and must land on the same
     * means and the same flag. */
   def e19PqDial(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Similarity.{pqAdcSearch, dot}
-    val c = Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("n_id"),
-        col("embedding").cast("array<double>").as("n_emb"))
-      .withColumn("n_dxx", dot(col("n_emb"), col("n_emb")))
-    val q = queriesSide(s, d)
-      .select(col("vec_id").as("tq_id"),
-        col("embedding").cast("array<double>").as("tq_emb"))
-      .withColumn("tq_dxx", dot(col("tq_emb"), col("tq_emb")))
-    val wt = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("tq_id")).orderBy(col("d2").asc, col("n_id").asc)
-    val truth = c
-      .join(broadcast(q), col("tq_id") =!= col("n_id"))
-      .withColumn("d2", col("tq_dxx")
-        - lit(2.0) * dot(col("tq_emb"), col("n_emb")) + col("n_dxx"))
-      .withColumn("trank", row_number().over(wt))
-      .filter(col("trank") <= 5)
-      .select(col("tq_id").as("q_id"), col("n_id"))
+    import graft.operators.Similarity.pqAdcSearch
+    val truth = l2Truth(s, d, 5)
     def meanRecall(m: Int): DataFrame =
       truth
         .join(broadcast(

@@ -74,7 +74,11 @@ class CorpusSamplingSpec extends SparkSpec {
     // doc 1 "x y x y": bigrams (x,y)x2, (y,x)x1; unigrams x:2 y:2 z:1 -> V=3
     // p(y|x) = (2+1)/(2+3), p(x|y) = (1+1)/(2+3)
     // score = (2*r(ln p(y|x)) + 1*r(ln p(x|y))) / 3; doc 2 has no bigrams
-    val docs = Seq((1L, "x y x y"), (2L, "z")).toDF("doc_id", "text")
+    // doc 3 has NULL text: its row survives as (0, 0.0) AND it contributes
+    // NOTHING to the unigram/vocab statistics (V stays 3) — coalescing it
+    // to '' would inject an '' token and shift every score
+    val docs = Seq((1L, "x y x y"), (2L, "z"), (3L, null))
+      .toDF("doc_id", "text")
     val out = TextOps.bigramLmScore(docs, "doc_id", "text")
       .orderBy($"doc_id").as[(Long, Long, Double)].collect()
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
@@ -83,6 +87,7 @@ class CorpusSamplingSpec extends SparkSpec {
     val exp = r4((2 * py + px) / 3)
     assert(out(0) === ((1L, 3L, exp)))
     assert(out(1) === ((2L, 0L, 0.0)))
+    assert(out(2) === ((3L, 0L, 0.0)))
   }
 
   // ------------------------------------------------------- unigramLmScore

@@ -70,10 +70,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("NO catalog query plans a CartesianProduct (broadcast NLJ of tiny frames is the only cross-join form)") {
-    // planning only — no execution — so the whole catalog sweeps in
-    // seconds; every deliberate crossJoin in this repo is
-    // crossJoin(broadcast(tiny)) which compiles to
-    // BroadcastNestedLoopJoin, never CartesianProduct
+    // "explainString" itself only plans, but CONSTRUCTING some frames
+    // (kmeans/PQ/LSH families) runs their eager localCheckpoint training
+    // jobs first — on sf0.001 that keeps the sweep under a minute, and
+    // the asserted plans are the post-checkpoint tails of each query.
+    // Every deliberate crossJoin in this repo is crossJoin(broadcast(tiny))
+    // which compiles to BroadcastNestedLoopJoin, never CartesianProduct
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       plan(name).contains("CartesianProduct")
     }

@@ -23,7 +23,6 @@ def main() -> int:
     for r in runs:
         for k, v in r["queries"].items():
             qs[k] = min(v, qs[k]) if k in qs else v
-    reps = sum(r.get("reps", 1) for r in runs if k in r["queries"])
     total = sum(qs.values())
     lines = [
         f"# BENCH_SUMMARY — round {rnd}",
