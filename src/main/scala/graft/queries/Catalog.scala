@@ -493,6 +493,17 @@ object Catalog {
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // HLL mergeability: per-shard sketches unioned must estimate EXACTLY
+    // what a single pass estimates (register max-merge is associative);
+    // engine-specific estimates stay out of the gate — booleans + exact
+    // twin only, a8's pattern
+    QuerySpec("a13_hll_merge", RelationalQueries.a13HllMerge,
+      Some("""SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS merge_exact,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Count-Min heavy hitters: the whole grid is deterministic integer
     // math (md5 -> 32-bit -> universal hash), so estimates are gated
     // exactly, not just bounded; DuckDB's HUGEINT sums cast back to BIGINT

@@ -457,6 +457,36 @@ object RelationalQueries {
           col("exact_users").cast("double") * 0.05).as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** HLL sketch MERGEABILITY as a gate — the property that makes
+    * distinct-counting shardable at 100 TB: per-shard DataSketches HLL
+    * sketches union into exactly the register state a single pass would
+    * build (register max-merge is associative and commutative), so the
+    * merged estimate must EQUAL the single-pass estimate, not just
+    * approximate it. `merge_exact` pins that equality; `approx_ok` bounds
+    * the estimate against the exact count (a8's pattern — the estimates
+    * themselves are engine-specific, so the oracle pins the booleans and
+    * the exact twin). */
+  def a13HllMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val byShard = ev
+      .withColumn("__shard", pmod(col("user_id"), lit(4)))
+      .groupBy(col("event_type"), col("__shard"))
+      .agg(hll_sketch_agg(col("user_id")).as("__sk"))
+    val merged = byShard
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est_merged"))
+    val whole = ev
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("__est_whole"),
+        count_distinct(col("user_id")).as("exact_users"))
+    whole.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (col("__est_merged") === col("__est_whole")).as("merge_exact"),
+        (abs(col("__est_whole") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05).as("approx_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** Count-Min heavy hitters (the bounded-memory path a8's scaladoc family
     * completes): build a 4×64 CMS grid over per-user event counts, point-
     * estimate every user against it, and emit the top-10 by estimate with
