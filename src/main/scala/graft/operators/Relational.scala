@@ -199,6 +199,31 @@ object Relational {
   def fanout(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Blocked fuzzy match over a name dictionary — the edit-distance join
+    * of entity resolution, shaped for scale: callers dedupe the fact table
+    * to (name, count) first (vocabulary cardinality, not row cardinality),
+    * this blocks on the FIRST TOKEN and verifies pairs within a block with
+    * exact Levenshtein ≤ `maxDist`. Blocking is the recall trade every ER
+    * pipeline makes explicit: a pair whose first tokens differ is never
+    * compared, however close the rest — that miss is deliberate and
+    * spec-pinned, not an accident. Output: (name1, name2, dist, n1, n2)
+    * with name1 < name2. */
+  def fuzzyMatchNames(
+      names: DataFrame, nameCol: String, countCol: String, maxDist: Int): DataFrame = {
+    val blocked = names
+      .select(col(nameCol).as("__name"), col(countCol).as("__n"))
+      .withColumn("__blk", split(col("__name"), " ").getItem(0))
+    val left = blocked.select(col("__name").as("name1"),
+      col("__n").as("n1"), col("__blk"))
+    val right = blocked.select(col("__name").as("name2"),
+      col("__n").as("n2"), col("__blk"))
+    left.join(right, Seq("__blk"))
+      .filter(col("name1") < col("name2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("name1"), col("name2"), col("dist"), col("n1"), col("n2"))
+  }
+
   /** Exact money arithmetic for aggregation: cast a 2-dp double column to
     * decimal so sums are order-independent (a 100 TB shuffle sums partials in
     * nondeterministic order; double addition is not associative, decimal is).

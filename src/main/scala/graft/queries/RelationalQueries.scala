@@ -218,22 +218,13 @@ object RelationalQueries {
     * exact Levenshtein ≤ 3 (identical integer semantics on both engines).
     * Row counts ride along so the match result still says how much fact
     * data each fuzzy cluster touches. */
-  def x7FuzzyMatch(s: SparkSession, d: String): DataFrame = {
-    val names = Tables.part(s, d)
-      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-      .withColumn("blk", split(col("p_name"), " ").getItem(0))
-    val left = names.select(col("p_name").as("name1"),
-      col("n_parts").as("parts1"), col("blk"))
-    val right = names.select(col("p_name").as("name2"),
-      col("n_parts").as("parts2"), col("blk"))
-    left.join(right, Seq("blk"))
-      .filter(col("name1") < col("name2"))
-      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
-      .filter(col("dist") <= 3)
+  def x7FuzzyMatch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.fuzzyMatchNames(
+      Tables.part(s, d).groupBy(col("p_name")).agg(count(lit(1)).as("n_parts")),
+      "p_name", "n_parts", maxDist = 3)
       .select(col("name1"), col("name2"), col("dist"),
-        col("parts1"), col("parts2"))
+        col("n1").as("parts1"), col("n2").as("parts2"))
       .orderBy(col("name1"), col("name2"))
-  }
 
   /** Top-3 part types per supplier nation (SURVEY §2.5 A5 + §2.4 J9/J10,
     * reference TopSellingGenreByVenue). */

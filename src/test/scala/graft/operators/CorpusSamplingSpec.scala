@@ -157,6 +157,34 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bigramLmScore equals a naive reference on a random corpus") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("x", "y", "z", "w", "v")
+    val docs = (1L to 30L).map(id =>
+      (id, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val allToks = docs.flatMap(_._2.split(" "))
+    val uni = allToks.groupBy(identity).view.mapValues(_.size).toMap
+    val vSize = uni.size
+    val allBigrams = docs.flatMap(_._2.split(" ").toSeq.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))).toSeq)
+    val bc = allBigrams.groupBy(identity).view.mapValues(_.size).toMap
+    def lp(b: (String, String)) = math.floor(
+      math.log((bc(b) + 1).toDouble / (uni(b._1) + vSize)) * 10000 + 0.5) / 10000
+    val expected = docs.map { case (id, t) =>
+      val bgs = t.split(" ").toSeq.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq
+      if (bgs.isEmpty) (id, 0L, 0.0)
+      else {
+        val s = bgs.map(b => BigDecimal(lp(b))).sum
+        (id, bgs.size.toLong,
+          math.floor(s.toDouble / bgs.size * 10000 + 0.5) / 10000)
+      }
+    }.toSet
+    val got = TextOps.bigramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+  }
+
   // ------------------------------------------------------- temperatureMix
 
   test("temperatureMix rates follow sqrt weights and membership is the stable hash") {
