@@ -493,6 +493,21 @@ object Catalog {
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // funnel: first view, then first click AT OR AFTER it — the ordering
+    // constraint is the operator; unconverted users keep their row, gap -1
+    QuerySpec("x8_funnel", RelationalQueries.x8Funnel,
+      Some("""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS first_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.first_view
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.first_view,
+        |  c.first_click IS NOT NULL AS converted,
+        |  coalesce(c.first_click - v.first_view, -1) AS gap_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |ORDER BY v.user_id""".stripMargin)),
+
     // HLL mergeability: per-shard sketches unioned must estimate EXACTLY
     // what a single pass estimates (register max-merge is associative);
     // engine-specific estimates stay out of the gate — booleans + exact

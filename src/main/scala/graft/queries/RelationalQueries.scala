@@ -448,6 +448,33 @@ object RelationalQueries {
           col("exact_users").cast("double") * 0.05).as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** Funnel / event-sequence analytics — the ORDERED-step family the
+    * windowed rollups don't cover: per user, the first 'view' and the
+    * first 'click' AT OR AFTER it (a click before any view is not a
+    * conversion — the ordering constraint is the whole operator), with the
+    * conversion gap in integer micros. Two bounded aggregates + one
+    * user-keyed join: each step collapses to one row per user BEFORE
+    * joining, so nothing is ever events×events; at 100 TB both aggregates
+    * partial map-side and the join is co-partitioned on user_id.
+    * Unconverted users keep their row with gap −1 (keep-the-row; −1 keeps
+    * the column integer on both engines). */
+  def x8Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view"))
+    val conv = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"))
+      .join(views, Seq("user_id"))
+      .filter(col("ts_us") >= col("first_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_click"))
+    views
+      .join(conv, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"),
+        col("first_click").isNotNull.as("converted"),
+        coalesce(col("first_click") - col("first_view"), lit(-1L)).as("gap_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** HLL sketch MERGEABILITY as a gate — the property that makes
     * distinct-counting shardable at 100 TB: per-shard DataSketches HLL
     * sketches union into exactly the register state a single pass would
