@@ -27,6 +27,12 @@ final case class LedgerState(remaining: Double, totalRequested: Double)
   * `maxSize` entries like the reference's SortedCounterMap(1000). */
 final case class CounterState(counts: Map[String, (Long, Long)], nextIdx: Long)
 
+/** One funnel input event (x8's streaming form). */
+final case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
+
+/** Per-user funnel progress; −1 = step not reached. */
+final case class FunnelState(firstView: Long, firstClick: Long)
+
 /** Stateful streaming operators (Structured Streaming,
   * `mapGroupsWithState`/`flatMapGroupsWithState`) — the three places the
   * reference's semantics genuinely need running state rather than a
@@ -104,6 +110,39 @@ object StatefulOps {
           val n = state.getOption.getOrElse(0L) + rows.size
           state.update(n)
           (key, n)
+      }
+  }
+
+  /** Per-user funnel state — x8's streaming form: first 'view', then
+    * first 'click' AT OR AFTER it, as running state under the per-key
+    * ORDER contract the reference's stateful ops assume (each batch's
+    * group slice is event-time-sorted here — group iterators are
+    * unordered — with views before clicks on ties so an equal-timestamp
+    * click still converts, matching the batch ≥ comparison; across
+    * batches, per-key time must not regress — the watermark discipline).
+    * Emits each touched user's current (firstView, firstClick) per batch;
+    * −1 = step not reached. Decisions are FINAL under in-order delivery,
+    * so state is two longs per user — the bounded-state property funnel
+    * analysis loses the moment order is not guaranteed. */
+  def funnel(ds: Dataset[FunnelEvent]): Dataset[(Long, Long, Long)] = {
+    implicit val outEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stateEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .mapGroupsWithState[FunnelState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          rows.toSeq
+            .sortBy(e => (e.tsUs, if (e.eventType == "view") 0 else 1))
+            .foreach { e =>
+              if (e.eventType == "view" && st.firstView < 0)
+                st = st.copy(firstView = e.tsUs)
+              else if (e.eventType == "click" && st.firstView >= 0 &&
+                st.firstClick < 0 && e.tsUs >= st.firstView)
+                st = st.copy(firstClick = e.tsUs)
+            }
+          state.update(st)
+          (uid, st.firstView, st.firstClick)
       }
   }
 

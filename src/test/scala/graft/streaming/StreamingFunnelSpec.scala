@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming twin of x8's funnel: per-user running state under in-order
+  * delivery must land on exactly the batch semantics — first view, then
+  * first click at-or-after it, clicks BEFORE any view never convert, an
+  * equal-timestamp click converts (the batch ≥ comparison), and state is
+  * two longs per user. Out-of-order WITHIN a batch is tolerated (the
+  * handler sorts its slice); across batches time advances per key. */
+class StreamingFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running funnel state equals the batch first-view/first-click semantics") {
+    implicit val ctx = spark.sqlContext
+    // user 1: converts (view 10 -> click 30; the click at 5 is BEFORE any
+    //   view and must not count)
+    // user 2: click only -> never converts
+    // user 3: view only -> never converts
+    // user 4: click at the SAME ts as the view -> converts with gap 0
+    val batch1 = Seq(
+      FunnelEvent(1L, "click", 5L), FunnelEvent(1L, "view", 10L),
+      FunnelEvent(2L, "click", 7L),
+      FunnelEvent(4L, "view", 50L), FunnelEvent(4L, "click", 50L))
+    val batch2 = Seq(
+      FunnelEvent(1L, "click", 30L), FunnelEvent(1L, "click", 40L),
+      FunnelEvent(3L, "view", 90L))
+
+    val in = MemoryStream[FunnelEvent]
+    val got = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val q = StatefulOps.funnel(in.toDS())
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Long, Long)], _: Long) =>
+        b.collect().foreach(r => got(r._1) = (r._2, r._3))
+        ()
+      }
+      .start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got(1L) == ((10L, 30L)), s"user 1: ${got(1L)}")
+    assert(got(2L) == ((-1L, -1L)), "click before any view must not convert")
+    assert(got(3L) == ((90L, -1L)), "view-only user keeps firstClick = -1")
+    assert(got(4L) == ((50L, 50L)), "equal-timestamp click must convert (>= semantics)")
+  }
+}
