@@ -493,6 +493,24 @@ object Catalog {
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // cohort retention: first-event-day cohorts, distinct actives per week
+    // offset, ratio vs cohort size — all integer day/week math
+    QuerySpec("x9_retention", RelationalQueries.x9Retention,
+      Some("""WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_us
+        |  FROM events GROUP BY user_id),
+        |fc AS (SELECT user_id, first_us, first_us // 86400000000 AS cohort_day FROM f),
+        |cs AS (SELECT cohort_day, count(*) AS cohort_size FROM fc GROUP BY cohort_day),
+        |a AS (SELECT fc.cohort_day,
+        |    ((epoch_us(e.ts) // 86400000000) - fc.cohort_day) // 7 AS wk,
+        |    e.user_id
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id),
+        |act AS (SELECT cohort_day, wk, count(DISTINCT user_id) AS active_users
+        |  FROM a WHERE wk <= 3 GROUP BY cohort_day, wk)
+        |SELECT act.cohort_day, act.wk, act.active_users, cs.cohort_size,
+        |  floor(act.active_users * 1.0 / cs.cohort_size * 10000 + 0.5) / 10000 AS retention
+        |FROM act JOIN cs ON act.cohort_day = cs.cohort_day
+        |ORDER BY act.cohort_day, act.wk""".stripMargin)),
+
     // funnel: first view, then first click AT OR AFTER it — the ordering
     // constraint is the operator; unconverted users keep their row, gap -1
     QuerySpec("x8_funnel", RelationalQueries.x8Funnel,

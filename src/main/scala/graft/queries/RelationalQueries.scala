@@ -475,6 +475,35 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention — x8's sibling analytics family: users cohort by
+    * FIRST-event day, and each cohort's distinct actives are counted per
+    * week offset (0–3) from that day, with the retention ratio against
+    * cohort size. All integer micros→day→week math (hash-exact on both
+    * engines); the per-user first-event aggregate collapses before the
+    * activity join, so the join is one row per (event, user-first) on
+    * user_id — never events×events; the final distinct count partials
+    * map-side per (cohort, week). */
+  def x9Retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"))
+      .withColumn("cohort_day", expr("first_us div 86400000000"))
+    val cohortSize = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val activity = ev.select(col("user_id"), col("ts_us"))
+      .join(first, Seq("user_id"))
+      .withColumn("wk", expr("((ts_us div 86400000000) - cohort_day) div 7"))
+      .filter(col("wk") <= 3)
+      .groupBy(col("cohort_day"), col("wk"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+    activity
+      .join(cohortSize, Seq("cohort_day"))
+      .select(col("cohort_day"), col("wk"), col("active_users"), col("cohort_size"),
+        graft.operators.Relational.round4(
+          col("active_users").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_day"), col("wk"))
+  }
+
   /** HLL sketch MERGEABILITY as a gate — the property that makes
     * distinct-counting shardable at 100 TB: per-shard DataSketches HLL
     * sketches union into exactly the register state a single pass would
