@@ -22,6 +22,32 @@ class FuzzyMatchSpec extends SparkSpec {
       s"expected exactly the in-block near pair, got $got")
   }
 
+  test("equals a naive blocked reference on random names") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(31)
+    val firsts = Vector("red", "blue", "cold")
+    val seconds = Vector("rod", "ring", "bolt", "rd", "ringg")
+    val names = (0 until 40).map { _ =>
+      s"${firsts(rnd.nextInt(firsts.size))} ${seconds(rnd.nextInt(seconds.size))}"
+    }.distinct.map(n => (n, rnd.nextInt(9).toLong + 1))
+    val expected = (for {
+      (n1, c1) <- names; (n2, c2) <- names
+      if n1 < n2 && n1.split(" ")(0) == n2.split(" ")(0)
+      d = lev(n1, n2) if d <= 3
+    } yield (n1, n2, d.toLong, c1, c2)).toSet
+    val got = Relational.fuzzyMatchNames(
+      names.toDF("name", "n"), "name", "n", maxDist = 3)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("ties and ordering: name1 < name2 always; counts ride along unswapped") {
     val names = Seq(("z a", 1L), ("z b", 2L), ("z c", 3L)).toDF("name", "n")
     val got = Relational.fuzzyMatchNames(names, "name", "n", maxDist = 1)
