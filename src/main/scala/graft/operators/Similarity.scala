@@ -306,7 +306,7 @@ object Similarity {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     pqModelFrom(
-      slicedVecs(corpus.repartition(par), m, dims / m, 0), k, rounds, dims / m)
+      slicedVecs(corpus.repartition(par), m, dims / m, 0), k, rounds, dims / m, m)
   }
 
   /** Corpus × m sliced rows, each tagged by subspace id `base + s` — the
@@ -329,9 +329,46 @@ object Similarity {
     * raw + residual chains) get ALL chains for one set of round barriers —
     * the arithmetic is identical to independent [[kmeans]] runs per sub
     * (seeds = the k smallest ids, the same for every sub; per-sub argmin;
-    * (sub, cluster)-keyed means), only the scheduling is shared. */
+    * (sub, cluster)-keyed means), only the scheduling is shared.
+    * Returns (codes = (vec_id, sub, code, sq raw), books = (sub, cluster,
+    * c)); `nSub` is the (dense) chain count. */
   def pqModelFrom(
-      vecs: DataFrame, k: Int, rounds: Int, subLen: Int): (DataFrame, DataFrame) = {
+      vecs: DataFrame, k: Int, rounds: Int, subLen: Int, nSub: Int): (DataFrame, DataFrame) = {
+    val (assignedAll, books) =
+      multiChainModel(vecs, Seq.fill(nSub)(k), Seq.fill(nSub)(rounds), subLen)
+    val codes = assignedAll
+      .select(col("vec_id"), col("sub"), col("cluster").as("code"), col("sq"))
+    (codes, books)
+  }
+
+  /** The HETEROGENEOUS multi-chain Lloyd trainer: each chain (dense sub id
+    * 0..nSub−1) carries its own codebook size `subKs(sub)`, round count
+    * `subRounds(sub)`, and slice length (≤ `maxLen`, implied by its rows'
+    * `v`). A chain whose rounds are exhausted FREEZES — its centroids ride
+    * along untouched while longer chains keep updating — so chains of
+    * different depths still share one checkpoint barrier per round instead
+    * of paying their own chain of barriers (the scheduling cost that
+    * dominates training at toy scale, and the reason the coarse quantizer
+    * trains fused with the PQ codebooks in [[coarsePqAll]]).
+    *
+    * Per chain the arithmetic is EXACTLY an independent [[kmeans]] run:
+    * seeds = the `subKs(sub)` smallest-id vectors (every sub carries the
+    * full vec_id set, so one TakeOrdered on sub 0 serves all chains; a
+    * chain with smaller k takes the prefix of the shared rank), assignment
+    * = the per-sub [[graft.functions.VecArgminCell]] fold, update = one
+    * (sub, cluster)-keyed mean exchange round4'd before the next round.
+    * The update aggregates `maxLen` positional means; a shorter chain's
+    * out-of-range positions are null (`try_element_at`) and trimmed, so
+    * mixed slice lengths share the single exchange.
+    *
+    * Returns (assignedAll = (vec_id, sub, v, dxx, cluster, sq) from ONE
+    * final corpus pass over every chain, books = (sub, cluster, c)). */
+  def multiChainModel(
+      vecs: DataFrame, subKs: Seq[Int], subRounds: Seq[Int],
+      maxLen: Int): (DataFrame, DataFrame) = {
+    require(subKs.nonEmpty && subKs.length == subRounds.length,
+      s"per-sub k (${subKs.length}) and rounds (${subRounds.length}) must align")
+    val nSub = subKs.length
     // (sub, cluster, c) -> ONE row: subcents[sub] = that subspace's
     // cluster-sorted centroid pack (VecArgminCell's input shape)
     def packed(cent: DataFrame): DataFrame =
@@ -342,42 +379,90 @@ object Similarity {
           struct(col("cluster"), col("c"), col("dcc")))).as("cents"))
         .agg(transform(array_sort(collect_list(struct(col("sub"), col("cents")))),
           e => e.getField("cents")).as("subcents"))
-    def assign(centArr: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(centArr))
+    def assign(cent: DataFrame, in: DataFrame): DataFrame =
+      in.crossJoin(broadcast(packed(cent)))
         .withColumn("best", graft.functions.VectorFunctions.vec_argmin_cell(
           col("v"), col("dxx"), element_at(col("subcents"), col("sub") + 1)))
         .select(col("vec_id"), col("sub"), col("v"), col("dxx"),
           col("best").getField("cluster").as("cluster"),
           col("best").getField("sq").as("sq"))
-    // seeds: the k smallest ids — the SAME ids for every subspace (every
-    // sub carries the full vec_id set), so one k-row TakeOrdered on sub 0
-    // serves all chains via a broadcast id join
+    // seeds: the max-k smallest ids ranked once; each chain keeps the
+    // prefix its own k asks for — identical to a per-chain TakeOrdered
+    val maxK = subKs.max
+    val kOfSub: Column =
+      if (subKs.distinct.size == 1) lit(subKs.head)
+      else element_at(array(subKs.map(lit): _*), col("sub") + 1)
     val w0 = Window.orderBy(col("vec_id"))
     val seedIds = vecs
       .filter(col("sub") === 0)
       .select(col("vec_id"))
-      .orderBy(col("vec_id")).limit(k)
+      .orderBy(col("vec_id")).limit(maxK)
       .withColumn("cluster", (row_number().over(w0) - 1).cast("int"))
-    var centArr = packed(
-      vecs.join(broadcast(seedIds), Seq("vec_id"))
-        .select(col("sub"), col("cluster"),
-          transform(col("v"), x => Relational.round4(x)).as("c")))
+    var cent = vecs.join(broadcast(seedIds), Seq("vec_id"))
+      .filter(col("cluster") < kOfSub)
+      .select(col("sub"), col("cluster"),
+        transform(col("v"), x => Relational.round4(x)).as("c"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      centArr = packed(
-        assign(centArr)
-          .groupBy(col("sub"), col("cluster"))
-          .agg(array((1 to subLen).map(i =>
-            Relational.round4(avg(element_at(col("v"), i)))): _*).as("c")))
-        .localCheckpoint(true)
+    for (r <- 1 to subRounds.max) {
+      val active = subRounds.indices.filter(i => subRounds(i) >= r)
+      val inVecs =
+        if (active.size == nSub) vecs
+        else vecs.filter(col("sub").isInCollection(active))
+      val updated = assign(cent, inVecs)
+        .groupBy(col("sub"), col("cluster"))
+        .agg(filter(array((1 to maxLen).map(i =>
+          Relational.round4(avg(try_element_at(col("v"), lit(i))))): _*),
+          x => x.isNotNull).as("c"))
+      val next =
+        if (active.size == nSub) updated
+        else updated.unionAll(cent.filter(!col("sub").isInCollection(active)))
+      cent = next.localCheckpoint(true)
     }
-    val books = centArr
-      .select(posexplode(col("subcents")))
-      .select(col("pos").cast("int").as("sub"), explode(col("col")).as("ct"))
-      .select(col("sub"), col("ct.cluster").as("cluster"), col("ct.c").as("c"))
-    val codes = assign(centArr)
+    (assign(cent, vecs), cent)
+  }
+
+  /** Coarse quantizer + PQ codebooks trained as ONE fused multi-chain run:
+    * the coarse chain is just one more sub (id `m`, full-length slice,
+    * its own k and round count) unioned into the PQ slice frame, so every
+    * Lloyd round costs ONE corpus pass + ONE (sub, cluster) exchange + ONE
+    * checkpoint barrier for ALL chains — training the coarse chain
+    * sequentially before PQ paid its own barrier chain for identical
+    * arithmetic. Returns (assignedAll, books) with subs 0..m−1 the PQ
+    * chains and sub m the coarse chain; [[splitCoarsePq]] separates them. */
+  def coarsePqAll(
+      corpus: DataFrame, coarseK: Int, coarseRounds: Int,
+      m: Int, k: Int, rounds: Int, dims: Int): (DataFrame, DataFrame) = {
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val rep = corpus.repartition(par)
+    val vecs = slicedVecs(rep, m, dims / m, 0).unionAll(slicedVecs(rep, 1, dims, m))
+    multiChainModel(vecs,
+      Seq.fill(m)(k) :+ coarseK, Seq.fill(m)(rounds) :+ coarseRounds, dims)
+  }
+
+  /** Split [[coarsePqAll]]'s tagged output into the four frames its
+    * consumers speak: (assigned, centroids) in [[kmeans]]'s shape and
+    * (codes, books) in [[pqModel]]'s. */
+  def splitCoarsePq(all: DataFrame, books: DataFrame, m: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val assigned = all.filter(col("sub") === m)
+      .select(col("vec_id"), col("v"), col("dxx"), col("cluster"), col("sq"))
+    val centroids = books.filter(col("sub") === m)
+      .select(col("cluster"), col("c"))
+    val codes = all.filter(col("sub") < m)
       .select(col("vec_id"), col("sub"), col("cluster").as("code"), col("sq"))
-    (codes, books)
+    (assigned, centroids, codes, books.filter(col("sub") < m))
+  }
+
+  /** [[kmeans]]-shaped coarse model + [[pqModel]]-shaped PQ model from one
+    * fused training ([[coarsePqAll]]): (assigned, centroids, codes, books).
+    * Numerically identical to the two separate trainings. */
+  def coarsePqModels(
+      corpus: DataFrame, coarseK: Int, coarseRounds: Int,
+      m: Int, k: Int, rounds: Int, dims: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (all, books) = coarsePqAll(corpus, coarseK, coarseRounds, m, k, rounds, dims)
+    splitCoarsePq(all, books, m)
   }
 
   /** PQ search by asymmetric distance computation (ADC, Jégou et al. 2011
@@ -402,8 +487,16 @@ object Similarity {
   def pqAdcSearch(
       corpus: DataFrame, queries: DataFrame,
       m: Int, k: Int, rounds: Int, dims: Int, topK: Int): DataFrame = {
-    val subLen = dims / m
     val (codes, books) = pqModel(corpus, m, k, rounds, dims)
+    pqAdcSearchFrom(codes, books, queries, m, dims / m, topK)
+  }
+
+  /** [[pqAdcSearch]] over an ALREADY-trained PQ model — the production
+    * shape (the index stores codes once; searches pay only the scoring
+    * scan), and the sharing variant the session model cache feeds. */
+  def pqAdcSearchFrom(
+      codes: DataFrame, books: DataFrame, queries: DataFrame,
+      m: Int, subLen: Int, topK: Int): DataFrame = {
     val qSub = (0 until m).map { s =>
       queries.select(col("vec_id").as("q_id"),
         slice(col("embedding"), s * subLen + 1, subLen)
@@ -502,9 +595,20 @@ object Similarity {
       coarseK: Int, coarseRounds: Int,
       m: Int, k: Int, rounds: Int, dims: Int,
       topK: Int, nprobe: Int): DataFrame = {
-    val subLen = dims / m
-    val (assigned, centroids) = kmeans(corpus, coarseK, coarseRounds, dims)
-    val (codes, books) = pqModel(corpus, m, k, rounds, dims)
+    val (assigned, centroids, codes, books) =
+      coarsePqModels(corpus, coarseK, coarseRounds, m, k, rounds, dims)
+    ivfPqSearchFrom(assigned, centroids, codes, books, queries, m, dims / m, topK, nprobe)
+  }
+
+  /** [[ivfPqSearch]] over ALREADY-trained coarse + PQ models — the
+    * production shape (a deployed index stores (cell, codes) per vector
+    * and the trained books/centroids; a search pays only the probe + the
+    * bounded ADC join), and the sharing variant the session model cache
+    * feeds. */
+  def ivfPqSearchFrom(
+      assigned: DataFrame, centroids: DataFrame,
+      codes: DataFrame, books: DataFrame, queries: DataFrame,
+      m: Int, subLen: Int, topK: Int, nprobe: Int): DataFrame = {
     val probed = probeCells(centroids, queries, nprobe)
       .select(col("q_id"), col("q_cell"))
     val qSub = (0 until m).map { s =>
@@ -544,12 +648,28 @@ object Similarity {
       m: Int, k: Int, rounds: Int, dims: Int,
       topK: Int, nprobe: Int): DataFrame = {
     val subLen = dims / m
+    // the residual PQ chain DEPENDS on the finished coarse quantizer
+    // (residuals subtract its final centroids), so unlike [[ivfPqSearch]]
+    // these two trainings are inherently sequential — sharing across
+    // consumers happens at the model-cache layer instead
     val (assigned, centroids) = kmeans(corpus, coarseK, coarseRounds, dims)
     // materialize the residual corpus once (it IS the encoded data — the
     // 100 TB deployment stores it): without this every training round
     // would recompute the coarse assignment scan behind residualsFrom
     val resid = residualsFrom(assigned, centroids).localCheckpoint(true)
-    val (codes, books) = pqModelFrom(slicedVecs(resid, m, subLen, 0), k, rounds, subLen)
+    val (codes, books) = pqModelFrom(slicedVecs(resid, m, subLen, 0), k, rounds, subLen, m)
+    ivfAdcResidualSearchFrom(
+      assigned, centroids, codes, books, queries, m, subLen, topK, nprobe)
+  }
+
+  /** [[ivfAdcResidualSearch]] over ALREADY-trained coarse + residual-PQ
+    * models (the residual `codes`/`books` must have been trained on
+    * [[residualsFrom]] of exactly this `assigned`/`centroids` pair — seeds
+    * that diverge would silently mis-rank). */
+  def ivfAdcResidualSearchFrom(
+      assigned: DataFrame, centroids: DataFrame,
+      codes: DataFrame, books: DataFrame, queries: DataFrame,
+      m: Int, subLen: Int, topK: Int, nprobe: Int): DataFrame = {
     // the probe keeps each probed cell's centroid: the query's residual is
     // PER CELL (q − c_cell), one LUT per (query, probed cell)
     val qr = probeCells(centroids, queries, nprobe)

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memoized model fixtures for the embedding-family gates.
+  *
+  * Training here is fully deterministic (seeds = smallest vector ids,
+  * means display-rounded every round), so each gate that re-trains the
+  * same (dataset, geometry) computes byte-identical assignments, codes and
+  * codebooks — in a full-catalog run, ~25 s of repeated identical
+  * training. This cache trains ONCE per (SparkContext, dataset dir) — the
+  * coarse quantizer and the raw PQ codebooks in one fused multi-chain run
+  * ([[Similarity.coarsePqAll]]: one barrier set per Lloyd round for all
+  * chains), the residual PQ chain after it (it depends on the finished
+  * coarse centroids) — and hands every consumer the localCheckpoint'd
+  * frames. Search/dedup/evaluation gates then measure their own work, the
+  * same contract a production deployment gets from a persisted model store
+  * (`ModelPersistenceSpec` proves the parquet round-trip).
+  *
+  * Checkpoint-based, deliberately NOT persist: nothing is ever pinned in
+  * the CacheManager (the [[CacheLifecycleSpec]] session contract), and the
+  * checkpoint blocks are reclaimed when the fixture's frames die with
+  * their SparkContext. Entries from a previous (stopped) context are
+  * dropped on the first lookup from a new one.
+  *
+  * Correctness gates stay self-contained on the oracle side: DuckDB
+  * replays the full training chains from the parquet data; only the Spark
+  * side shares the one deterministic result.
+  */
+object Models {
+
+  /** Fused coarse + raw-PQ fixture in the gate-default geometry:
+    * `assigned`/`centroids` in [[Similarity.kmeans]]'s shape,
+    * `codes`/`books` in [[Similarity.pqModel]]'s. */
+  final case class CoarsePq(
+      assigned: DataFrame, centroids: DataFrame,
+      codes: DataFrame, books: DataFrame)
+
+  /** Residual-PQ fixture: PQ trained on [[Similarity.residualsFrom]] of
+    * the [[CoarsePq]] fixture's coarse model (same geometry). */
+  final case class ResidualPq(codes: DataFrame, books: DataFrame)
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def memo[T <: AnyRef](s: SparkSession, d: String, tag: String)(build: => T): T = {
+    val ctx = s.sparkContext.applicationId + "@" + s.sparkContext.startTime
+    val key = ctx + ":" + d + ":" + tag
+    val hit = cache.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      // frames checkpointed under a stopped context are unusable; drop
+      // anything not from this context so a JVM cycling sessions (test
+      // suites) cannot accumulate dead fixtures
+      cache.keySet.removeIf(k => !k.startsWith(ctx))
+      val built = build
+      cache.put(key, built)
+      built
+    }
+  }
+
+  import SimilarityQueries.{KmeansDims, KmeansK, KmeansRounds, PqK, PqM, PqRounds}
+
+  def coarsePq(s: SparkSession, d: String): CoarsePq = memo(s, d, "coarsePq") {
+    val (all, books) = Similarity.coarsePqAll(
+      Tables.embeddings(s, d), KmeansK, KmeansRounds, PqM, PqK, PqRounds, KmeansDims)
+    // ONE final-assignment scan serves every consumer; the books are tiny
+    val (assigned, centroids, codes, pqBooks) =
+      Similarity.splitCoarsePq(all.localCheckpoint(true), books.localCheckpoint(true), PqM)
+    CoarsePq(assigned, centroids, codes, pqBooks)
+  }
+
+  def residualPq(s: SparkSession, d: String): ResidualPq = memo(s, d, "residualPq") {
+    val cp = coarsePq(s, d)
+    val subLen = KmeansDims / PqM
+    // the residual corpus IS the encoded data — materialized once
+    val resid = Similarity.residualsFrom(cp.assigned, cp.centroids).localCheckpoint(true)
+    val (codes, books) = Similarity.pqModelFrom(
+      Similarity.slicedVecs(resid, PqM, subLen, 0), PqK, PqRounds, subLen, PqM)
+    ResidualPq(codes.localCheckpoint(true), books.localCheckpoint(true))
+  }
+}

@@ -102,7 +102,7 @@ object SimilarityQueries {
     * replacement for the dataset's `label` column as the IVF coarse
     * quantizer. */
   def e9KmeansAssign(s: SparkSession, d: String): DataFrame =
-    kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)._1
+    Models.coarsePq(s, d).assigned
       .select(col("vec_id"), col("cluster"),
         graft.operators.Relational.round4(col("sq")).as("sq_dist"))
       .orderBy(col("vec_id"))
@@ -112,7 +112,7 @@ object SimilarityQueries {
     * squared distances — order-independent, so distributed summation
     * cannot perturb the gate. */
   def e10KmeansInertia(s: SparkSession, d: String): DataFrame =
-    kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)._1
+    Models.coarsePq(s, d).assigned
       .select(col("cluster"),
         graft.operators.Relational.round4(col("sq")).as("sqr"))
       .groupBy(col("cluster"))
@@ -124,9 +124,8 @@ object SimilarityQueries {
     * with cells and probe centroids from the in-plan k-means instead of
     * the dataset's `label` column — the full train→assign→search path. */
   def e11KnnIVFLearned(s: SparkSession, d: String): DataFrame = {
-    val (assigned, centroids) =
-      kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)
-    knnIVFMultiProbeLearned(assigned, centroids, queriesSide(s, d), 5, nprobe = 2)
+    val cp = Models.coarsePq(s, d)
+    knnIVFMultiProbeLearned(cp.assigned, cp.centroids, queriesSide(s, d), 5, nprobe = 2)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -140,12 +139,11 @@ object SimilarityQueries {
     * per-query truth count (= k here), so the gate stays honest if a query
     * ever has fewer than k neighbors. */
   def e12RecallAtK(s: SparkSession, d: String): DataFrame = {
-    val (assigned, centroids) =
-      kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)
+    val cp = Models.coarsePq(s, d)
     val truth = knnBruteForce(Tables.embeddings(s, d), queriesSide(s, d), 5)
       .select(col("q_id"), col("n_id"))
     val approx =
-      knnIVFMultiProbeLearned(assigned, centroids, queriesSide(s, d), 5, nprobe = 2)
+      knnIVFMultiProbeLearned(cp.assigned, cp.centroids, queriesSide(s, d), 5, nprobe = 2)
         .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
     truth
       .join(broadcast(approx),
@@ -169,8 +167,8 @@ object SimilarityQueries {
     * subset, so widening the probe set only adds them). */
   def e12bProbeRecall(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Similarity.{dot, norm, knnBruteForce}
-    val (assigned, centroids) =
-      kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)
+    val cp = Models.coarsePq(s, d)
+    val (assigned, centroids) = (cp.assigned, cp.centroids)
     val cent = centroids.withColumn("cent_norm", norm(col("c")))
     val q = queriesSide(s, d)
       .select(col("vec_id").as("q_id"),
@@ -230,28 +228,32 @@ object SimilarityQueries {
     * codebook entry and its squared error — the sub-byte ANN storage path
     * (see [[graft.operators.Similarity.pqCodes]]). */
   def e13PqCodes(s: SparkSession, d: String): DataFrame =
-    graft.operators.Similarity.pqCodes(
-      Tables.embeddings(s, d), PqM, PqK, PqRounds, KmeansDims)
+    Models.coarsePq(s, d).codes
+      .select(col("vec_id"), col("sub"), col("code"),
+        graft.operators.Relational.round4(col("sq")).as("sq"))
       .orderBy(col("vec_id"), col("sub"))
 
   /** PQ-ADC top-5 search: the query scores the whole corpus through its
     * codebook lookup table — the code-only scan that makes PQ an INDEX,
     * not just compression (see [[graft.operators.Similarity.pqAdcSearch]]). */
-  def e14AdcSearch(s: SparkSession, d: String): DataFrame =
-    graft.operators.Similarity.pqAdcSearch(
-      Tables.embeddings(s, d), queriesSide(s, d), PqM, PqK, PqRounds, KmeansDims, 5)
+  def e14AdcSearch(s: SparkSession, d: String): DataFrame = {
+    val cp = Models.coarsePq(s, d)
+    graft.operators.Similarity.pqAdcSearchFrom(
+      cp.codes, cp.books, queriesSide(s, d), PqM, KmeansDims / PqM, 5)
       .orderBy(col("q_id"), col("rank"))
+  }
 
   /** IVF-PQ (IVFADC) top-5 search: the coarse cells (e9's k-means), the PQ
     * codes (e13's codebooks), and the ADC scan (e14's LUT) composed so each
     * query scores ONLY its 2 probed cells — the scale-safe form of e14
     * (see [[graft.operators.Similarity.ivfPqSearch]]). */
-  def e15IvfPqSearch(s: SparkSession, d: String): DataFrame =
-    graft.operators.Similarity.ivfPqSearch(
-      Tables.embeddings(s, d), queriesSide(s, d),
-      KmeansK, KmeansRounds, PqM, PqK, PqRounds, KmeansDims,
-      topK = 5, nprobe = 2)
+  def e15IvfPqSearch(s: SparkSession, d: String): DataFrame = {
+    val cp = Models.coarsePq(s, d)
+    graft.operators.Similarity.ivfPqSearchFrom(
+      cp.assigned, cp.centroids, cp.codes, cp.books, queriesSide(s, d),
+      PqM, KmeansDims / PqM, topK = 5, nprobe = 2)
       .orderBy(col("q_id"), col("rank"))
+  }
 
   /** Residual product quantization vs raw PQ — the IVFADC encoding choice
     * made measurable: PQ trained on coarse-quantizer residuals
@@ -262,26 +264,20 @@ object SimilarityQueries {
     * pins the expected direction; both engines compute the same flag, so
     * the gate stays honest either way. */
   def e16ResidualPq(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Similarity.{kmeans, residualsFrom, slicedVecs, pqModelFrom}
-    val emb = Tables.embeddings(s, d)
-    val (assigned, centroids) = kmeans(emb, KmeansK, KmeansRounds, KmeansDims)
-    // residuals materialized once (they are the encoded data); raw and
-    // residual chains then train FUSED — sub ids 0..m−1 raw, m..2m−1
-    // residual — so both encodings cost one set of round barriers
-    val resid = residualsFrom(assigned, centroids).localCheckpoint(true)
-    val subLen = KmeansDims / PqM
-    val par = s.sparkContext.defaultParallelism
-    val vecs = slicedVecs(emb.repartition(par), PqM, subLen, 0)
-      .unionAll(slicedVecs(resid, PqM, subLen, PqM))
-    val codes = pqModelFrom(vecs, PqK, PqRounds, subLen)._1
+    // both encodings come from the session fixtures: the raw codes train
+    // fused with the coarse chain, the residual codes train on the SAME
+    // coarse model's residuals — arithmetic identical to the two
+    // independent chains the oracle replays
+    val raw = Models.coarsePq(s, d).codes
+    val res = Models.residualPq(s, d).codes
     def perVec(codes: DataFrame, name: String): DataFrame =
       codes
         .select(col("vec_id"), graft.operators.Relational.round4(col("sq"))
           .cast("decimal(18,4)").as("sqr"))
         .groupBy(col("vec_id"))
         .agg(sum(col("sqr")).cast("double").as(name))
-    perVec(codes.filter(col("sub") < PqM), "raw_err")
-      .join(perVec(codes.filter(col("sub") >= PqM), "res_err"), Seq("vec_id"))
+    perVec(raw, "raw_err")
+      .join(perVec(res, "res_err"), Seq("vec_id"))
       .withColumn("improved", col("res_err") <= col("raw_err"))
       .orderBy(col("vec_id"))
   }
@@ -295,14 +291,11 @@ object SimilarityQueries {
     * salting bounds the blowup exactly like e3, and the component
     * iteration runs on the (tiny) edge list only. */
   def c5SemanticDedup(s: SparkSession, d: String): DataFrame = {
-    val (assigned, _) =
-      kmeans(Tables.embeddings(s, d), KmeansK, KmeansRounds, KmeansDims)
-    // materialize the labeled corpus once: BOTH sides of the salted
-    // self-join read it, and without the checkpoint each side re-runs the
-    // final assignment scan
-    val base = assigned.select(col("vec_id"), col("v").as("emb"),
-      col("cluster").as("cell"), sqrt(col("dxx")).as("nrm"))
-      .localCheckpoint(true)
+    // the labeled corpus comes checkpointed from the session fixture, so
+    // BOTH sides of the salted self-join read one materialized frame
+    val base = Models.coarsePq(s, d).assigned
+      .select(col("vec_id"), col("v").as("emb"),
+        col("cluster").as("cell"), sqrt(col("dxx")).as("nrm"))
     val pairs = graft.operators.Similarity
       .cosineNearDupPairsFrom(base, 0.35)
       .select(col("id1"), col("id2"))
@@ -319,12 +312,14 @@ object SimilarityQueries {
     * encoding — per probed cell the query builds its own residual LUT, so
     * the ADC sum approximates the true residual distance (see
     * [[graft.operators.Similarity.ivfAdcResidualSearch]]). */
-  def e17IvfadcSearch(s: SparkSession, d: String): DataFrame =
-    graft.operators.Similarity.ivfAdcResidualSearch(
-      Tables.embeddings(s, d), queriesSide(s, d),
-      KmeansK, KmeansRounds, PqM, PqK, PqRounds, KmeansDims,
-      topK = 5, nprobe = 2)
+  def e17IvfadcSearch(s: SparkSession, d: String): DataFrame = {
+    val cp = Models.coarsePq(s, d)
+    val rp = Models.residualPq(s, d)
+    graft.operators.Similarity.ivfAdcResidualSearchFrom(
+      cp.assigned, cp.centroids, rp.codes, rp.books, queriesSide(s, d),
+      PqM, KmeansDims / PqM, topK = 5, nprobe = 2)
       .orderBy(col("q_id"), col("rank"))
+  }
 
   /** Recall@5 of the full IVFADC search (e17) against brute-force
     * EUCLIDEAN truth — ADC approximates squared L2, so the truth ranking
@@ -359,12 +354,12 @@ object SimilarityQueries {
   }
 
   def e18IvfadcRecall(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Similarity.ivfAdcResidualSearch
     val truth = l2Truth(s, d, 5)
-    val approx = ivfAdcResidualSearch(
-      Tables.embeddings(s, d), queriesSide(s, d),
-      KmeansK, KmeansRounds, PqM, PqK, PqRounds, KmeansDims,
-      topK = 5, nprobe = 2)
+    val cp = Models.coarsePq(s, d)
+    val rp = Models.residualPq(s, d)
+    val approx = graft.operators.Similarity.ivfAdcResidualSearchFrom(
+      cp.assigned, cp.centroids, rp.codes, rp.books, queriesSide(s, d),
+      PqM, KmeansDims / PqM, topK = 5, nprobe = 2)
       .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
     truth
       .join(broadcast(approx),
@@ -388,14 +383,20 @@ object SimilarityQueries {
     * loses. The oracle replays both geometries and must land on the same
     * means and the same flag. */
   def e19PqDial(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Similarity.pqAdcSearch
+    import graft.operators.Similarity.{pqAdcSearch, pqAdcSearchFrom}
     val truth = l2Truth(s, d, 5)
+    // m=2 is the session fixture's geometry; m=4 is this gate's own
+    // comparison arm and trains in-plan (no other consumer)
+    def search(m: Int): DataFrame =
+      if (m == PqM) {
+        val cp = Models.coarsePq(s, d)
+        pqAdcSearchFrom(cp.codes, cp.books, queriesSide(s, d), PqM, KmeansDims / PqM, 5)
+      } else pqAdcSearch(Tables.embeddings(s, d), queriesSide(s, d),
+        m, PqK, PqRounds, KmeansDims, 5)
     def meanRecall(m: Int): DataFrame =
       truth
         .join(broadcast(
-          pqAdcSearch(Tables.embeddings(s, d), queriesSide(s, d),
-            m, PqK, PqRounds, KmeansDims, 5)
-            .select(col("q_id").as("a_q"), col("n_id").as("a_n"))),
+          search(m).select(col("q_id").as("a_q"), col("n_id").as("a_n"))),
           col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
         .groupBy(col("q_id"))
         .agg(graft.operators.Relational.round4(
