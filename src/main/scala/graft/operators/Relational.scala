@@ -207,17 +207,29 @@ object Relational {
     * pipeline makes explicit: a pair whose first tokens differ is never
     * compared, however close the rest — that miss is deliberate and
     * spec-pinned, not an accident. Output: (name1, name2, dist, n1, n2)
-    * with name1 < name2. */
+    * with name1 < name2.
+    *
+    * The within-block pair join is SALTED (the [[graft.operators.Similarity
+    * .cosineNearDupPairsFrom]] idiom): joining on the block token alone
+    * puts each block in ONE task, and on a natural-language dictionary hot
+    * first tokens ("the", "new") make that task quadratic-dominant. The
+    * left side keys by (block, hash(name) % S), the right side replicates
+    * each row S ways, so a hot block's pair work spreads over S tasks at
+    * an S× blowup of the (vocabulary-sized) right side. Every pair still
+    * meets exactly once — the left row carries one salt value. */
   def fuzzyMatchNames(
-      names: DataFrame, nameCol: String, countCol: String, maxDist: Int): DataFrame = {
+      names: DataFrame, nameCol: String, countCol: String, maxDist: Int,
+      saltBuckets: Int = 16): DataFrame = {
     val blocked = names
       .select(col(nameCol).as("__name"), col(countCol).as("__n"))
       .withColumn("__blk", split(col("__name"), " ").getItem(0))
     val left = blocked.select(col("__name").as("name1"),
       col("__n").as("n1"), col("__blk"))
+      .withColumn("__salt", pmod(hash(col("name1")), lit(saltBuckets)))
     val right = blocked.select(col("__name").as("name2"),
       col("__n").as("n2"), col("__blk"))
-    left.join(right, Seq("__blk"))
+      .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    left.join(right, Seq("__blk", "__salt"))
       .filter(col("name1") < col("name2"))
       .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
       .filter(col("dist") <= maxDist)
