@@ -75,22 +75,55 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
-    // also persist the full line: the driver's log capture has truncated
-    // the head of long JSON lines, losing per-query timings — the file is
-    // the committed record. A FILTERED run (SPARK_GRAFT_ONLY) must not
-    // silently clobber the committed full-catalog record, so it writes
+    // persist the full line: the driver's log capture keeps only the last
+    // ~2000 chars, which decapitates a 97-query JSON line — the file is
+    // the committed record. Resolved against the repo root (sbt forks can
+    // start elsewhere; a CWD-relative write would silently skip updating
+    // the committed file) and written temp-then-rename so a crash mid-write
+    // can never leave it truncated. A FILTERED run (SPARK_GRAFT_ONLY) must
+    // not silently clobber the committed full-catalog record, so it writes
     // only when SPARK_GRAFT_BENCH_OUT names a destination explicitly.
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
     outFile.foreach { f =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case e: Throwable =>
+      try {
+        val target = {
+          val p = java.nio.file.Paths.get(f)
+          if (p.isAbsolute) p
+          else {
+            var root = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+            while (root.getParent != null &&
+              !java.nio.file.Files.exists(root.resolve("build.sbt")))
+              root = root.getParent
+            root.resolve(p)
+          }
+        }
+        val tmp = java.nio.file.Files.createTempFile(target.getParent, ".bench", ".tmp")
+        java.nio.file.Files.write(tmp,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $f: ${e.getMessage}")
       }
     }
+    // the LAST stdout line is a COMPACT self-contained record sized to
+    // survive the driver's tail window (~2000 chars minus sbt's trailing
+    // success line): headline totals plus the slowest queries at 2 dp —
+    // the full per-query map cannot fit (97 names alone exceed the
+    // window), so it lives in the committed file named here. A parser
+    // scanning the tail for a complete JSON line now always finds one.
+    val slowest = results.sortBy(-_._2).take(20)
+      .map { case (k, v) =>
+        "\"" + k + "\":" +
+          BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"n_queries":${results.size},"reps":$reps,"sf":"$sfDir","failed":$failedJson,"queries_full":"${outFile.getOrElse("(not written: filtered run)")}","slowest":$slowest}""")
     spark.stop()
   }
 }

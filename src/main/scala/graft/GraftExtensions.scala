@@ -27,6 +27,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Evaluate an INT parameter that must be known at plan time. Accepts any
+    * FOLDABLE integral expression — `3`, `1+2`, `CAST(3 AS INT)`, a long
+    * literal — by constant-folding it here (the optimizer's folding runs
+    * AFTER function resolution, so a builder that pattern-matches only a
+    * bare `Literal(_: Int, _)` rejects expressions SQL users legitimately
+    * write). */
+  private def foldableInt(e: Expression, what: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$what must be a constant integer expression, got $e")
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must fold to an integer, got $other")
+    }
+  }
+
   val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
@@ -54,12 +74,8 @@ object GraftExtensions {
       if (children.length != 2)
         throw new IllegalArgumentException(
           s"top_k_by_count requires (struct<cnt, key>, k), got ${children.length} args")
-      val k = children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"top_k_by_count k must be an integer literal, got $other")
-      }
-      TopKByCount(children.head, k).toAggregateExpression()
+      TopKByCount(children.head, foldableInt(children(1), "top_k_by_count k"))
+        .toAggregateExpression()
     })
 
   val simhash16: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -79,12 +95,7 @@ object GraftExtensions {
       if (children.length != 2)
         throw new IllegalArgumentException(
           s"minhash_sig requires (array<string>, numHashes), got ${children.length} args")
-      val k = children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"minhash_sig numHashes must be an integer literal, got $other")
-      }
-      MinHashSig(children.head, k)
+      MinHashSig(children.head, foldableInt(children(1), "minhash_sig numHashes"))
     })
 
   val simhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -94,12 +105,7 @@ object GraftExtensions {
       if (children.length != 2)
         throw new IllegalArgumentException(
           s"simhash_sig requires (array<string>, nBits), got ${children.length} args")
-      val n = children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"simhash_sig nBits must be an integer literal, got $other")
-      }
-      SimHashSig(children.head, n)
+      SimHashSig(children.head, foldableInt(children(1), "simhash_sig nBits"))
     })
 
   val shingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -109,11 +115,6 @@ object GraftExtensions {
       if (children.length != 2)
         throw new IllegalArgumentException(
           s"shingles requires (array<string>, n), got ${children.length} args")
-      val n = children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"shingles n must be an integer literal, got $other")
-      }
-      Shingles(children.head, n)
+      Shingles(children.head, foldableInt(children(1), "shingles n"))
     })
 }

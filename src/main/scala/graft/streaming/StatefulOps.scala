@@ -120,6 +120,20 @@ object StatefulOps {
     * unordered — with views before clicks on ties so an equal-timestamp
     * click still converts, matching the batch ≥ comparison; across
     * batches, per-key time must not regress — the watermark discipline).
+    *
+    * Same-timestamp CROSS-BATCH caveat: the tie-break only orders events
+    * that arrive in the SAME micro-batch. If a click lands in an earlier
+    * batch than a view carrying the SAME timestamp, the click is evaluated
+    * against state that has not seen the view yet and is dropped — where
+    * x8's batch `>=` semantics would convert. This is the boundary case of
+    * the order contract (equal timestamps are "not regressed", so feeds
+    * may legally split them across batches); feeds that can do so must
+    * either deliver equal-timestamp events in one batch or buffer at the
+    * source until the watermark passes the timestamp. Buffering inside
+    * this operator would trade its two-longs-per-user state for a per-key
+    * event queue — the bounded-state property is the point, so the
+    * contract stays at the feed.
+    *
     * Emits each touched user's current (firstView, firstClick) per batch;
     * −1 = step not reached. Decisions are FINAL under in-order delivery,
     * so state is two longs per user — the bounded-state property funnel

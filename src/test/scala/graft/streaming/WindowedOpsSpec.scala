@@ -105,5 +105,15 @@ class WindowedOpsSpec extends SparkSpec {
         |FROM VALUES (2L, 'b'), (2L, 'a'), (1L, 'c') AS v(cnt, key)""".stripMargin)
       .as[Seq[String]].head()
     assert(tk == Seq("a", "b"))
+    // k accepts any FOLDABLE integer expression, not just a bare literal:
+    // arithmetic over literals and an explicit cast both resolve
+    for (kExpr <- Seq("1+1", "CAST(2 AS INT)", "2L")) {
+      val tf = spark.sql(
+        s"""SELECT transform(top_k_by_count(named_struct('cnt', cnt, 'key', key), $kExpr),
+           |  x -> x.key) AS t
+           |FROM VALUES (2L, 'b'), (2L, 'a'), (1L, 'c') AS v(cnt, key)""".stripMargin)
+        .as[Seq[String]].head()
+      assert(tf == Seq("a", "b"), s"k = $kExpr")
+    }
   }
 }

@@ -28,7 +28,7 @@ def main() -> int:
         f"# BENCH_SUMMARY — round {rnd}",
         "",
         f"Per-query MIN over {len(runs)} full run(s) × best-of-"
-        f"{meta.get('reps', '?')} passes each, `local[{meta.get('cpus', 32)}]`, "
+        f"{meta.get('reps', '?')} passes each, `local[{meta.get('cpus', '?')}]`, "
         f"sf dir `{meta.get('sf')}` (min-of-runs because this host shows "
         f"bursty hypervisor CPU steal; see Bench.scala). Total "
         f"**{total:.1f} s** over **{len(qs)} queries**; "
