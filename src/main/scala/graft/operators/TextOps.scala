@@ -572,6 +572,28 @@ object TextOps {
       regexp_count(text, lit("[0-9]+")) +
       regexp_count(text, lit("[^a-zA-Z0-9 ]"))
 
+  /** Adjacent symbol-pair frequencies — the first iteration of the BPE
+    * tokenizer-training inner loop (Sennrich et al. 2016): within each
+    * whitespace token, every adjacent character pair is one occurrence,
+    * and the corpus-wide pair counts are what BPE's merge step ranks.
+    * Pair formation is pure scan-stage work (a `transform` of 2-char
+    * substrings per token — adjacent-pair extraction with no join and no
+    * per-word state); the only shuffle is the (pair)-keyed count, which
+    * partially aggregates map-side first — pair cardinality is bounded by
+    * the alphabet squared, so the exchange moves O(|alphabet|² · tasks)
+    * rows at any corpus size. Returns (pair, cnt), one row per distinct
+    * pair. A full BPE trainer loops this: apply the best merge, re-count;
+    * each iteration is this same scan + bounded exchange. */
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .select(explode(when(length(col("__w")) >= 2,
+        transform(sequence(lit(1), length(col("__w")) - 1),
+          i => col("__w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Content fingerprint: md5 of the full text. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -867,6 +867,22 @@ object Catalog {
         |  FROM documents) t
         |GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 20""".stripMargin)),
 
+    // BPE merge-pair counting: within each whitespace token every adjacent
+    // character pair is one occurrence (2-char substrings — identical
+    // formation on both engines); the top_k_by_count aggregate must rank
+    // exactly like the (cnt DESC, pair ASC) window
+    QuerySpec("t20_bpe_pairs", TextQueries.t20BpePairs,
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |        i -> substr(w, i, 2))) AS pair
+        |      FROM w WHERE length(w) >= 2),
+        |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair)
+        |SELECT pair, cnt, rank FROM (
+        |  SELECT pair, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
+        |  FROM c) r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
     QuerySpec("t10_repetition", TextQueries.t10Repetition,
       Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),

@@ -258,6 +258,22 @@ object TextQueries {
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(20)
 
+  /** BPE merge-pair counting ([[graft.operators.TextOps.bpePairCounts]]):
+    * corpus-wide adjacent character-pair frequencies — the tokenizer-
+    * training step t4's BPE-ish counter and t8's vocabulary head build
+    * toward — with the global top-20 ranked by the bounded
+    * [[graft.functions.TopKByCount]] aggregate (a11's idiom as a GLOBAL
+    * top-K: partial buffers trim map-side, so the final single-group
+    * reduce receives O(k · tasks) rows, never the pair distribution). */
+  def t20BpePairs(s: SparkSession, d: String): DataFrame =
+    bpePairCounts(Tables.documents(s, d), "text")
+      .agg(graft.functions.AggregateFunctions.top_k_by_count(
+        struct(col("cnt"), col("pair")), 20).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.pair").as("pair"), col("col.cnt").as("cnt"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("rank"))
+
   /** Per-document top-5 terms by TF-IDF. Plan shape at scale: ONE explode
     * feeds everything — df is an unbounded COUNT WINDOW over the (doc,
     * term) tf aggregate (tf rows are distinct (doc, term) pairs by

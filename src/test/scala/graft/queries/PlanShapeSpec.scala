@@ -45,6 +45,14 @@ class PlanShapeSpec extends SparkSpec {
       "TopKByCount lost its partial phase — the shuffle would carry the full member distribution")
   }
 
+  test("t20's global top-k aggregate runs a partial (map-side) phase") {
+    // a GLOBAL top-k is the worst case for the window formulation (every
+    // row to ONE reducer); the partial phase is what bounds the reduce
+    val p = plan("t20_bpe_pairs")
+    assert(p.contains("partial_top_k_by_count"),
+      "t20's TopKByCount lost its partial phase — the single-group reduce would receive the pair distribution")
+  }
+
   test("minhash banding never plans a cartesian pair join") {
     val p = plan("d2_minhash_pairs")
     assert(!p.contains("CartesianProduct"), "LSH banding degenerated to all-pairs")
