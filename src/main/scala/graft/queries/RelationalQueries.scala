@@ -483,8 +483,14 @@ object RelationalQueries {
     * activity join, so the join is one row per (event, user-first) on
     * user_id — never events×events; the final distinct count partials
     * map-side per (cohort, week). */
-  def x9Retention(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+  def x9Retention(s: SparkSession, d: String): DataFrame =
+    retentionFrom(Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")))
+
+  /** [[x9Retention]]'s aggregation over a caller-supplied (user_id, ts_us)
+    * frame — shared with the streaming twin's spec, which must compare the
+    * incremental result against exactly this batch logic on the same fed
+    * prefix. */
+  def retentionFrom(ev: DataFrame): DataFrame = {
     val first = ev.groupBy(col("user_id"))
       .agg(min(col("ts_us")).as("first_us"))
       .withColumn("cohort_day", expr("first_us div 86400000000"))

@@ -33,6 +33,13 @@ final case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
 /** Per-user funnel progress; −1 = step not reached. */
 final case class FunnelState(firstView: Long, firstClick: Long)
 
+/** One retention input event (x9's streaming form). */
+final case class RetentionEvent(userId: Long, tsUs: Long)
+
+/** Per-user retention state: cohort day (−1 = unseen) + bitmask of the
+  * active week offsets 0–3 relative to it. */
+final case class RetentionState(firstDay: Long, weekMask: Long)
+
 /** Stateful streaming operators (Structured Streaming,
   * `mapGroupsWithState`/`flatMapGroupsWithState`) — the three places the
   * reference's semantics genuinely need running state rather than a
@@ -157,6 +164,40 @@ object StatefulOps {
             }
           state.update(st)
           (uid, st.firstView, st.firstClick)
+      }
+  }
+
+  /** Per-user cohort-retention state — x9's streaming form, mirroring
+    * [[funnel]]'s two-longs pattern: the user's FIRST event day is their
+    * cohort, and each later event marks the week offset 0–3 from that day
+    * in a bitmask (week 4+ is outside x9's horizon and ignored, so state
+    * is exactly two longs per user, bounded forever). Under the per-key
+    * order contract (each batch's slice is sorted here; across batches
+    * time must not regress) the first-seen day IS the minimum day, so the
+    * incremental cohorts equal x9's min-aggregate cohorts. Emits each
+    * touched user's current (cohortDay, weekMask) per batch in update
+    * mode; a downstream consumer gets cohort sizes by counting users per
+    * cohortDay and week-w actives by counting users with bit w set —
+    * popcount-style aggregation over final states, never a distinct over
+    * raw events. */
+  def retention(ds: Dataset[RetentionEvent]): Dataset[(Long, Long, Long)] = {
+    implicit val outEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stateEnc: Encoder[RetentionState] = Encoders.product[RetentionState]
+    val usPerDay = 86400000000L
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .mapGroupsWithState[RetentionState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[RetentionEvent], state: GroupState[RetentionState]) =>
+          var st = state.getOption.getOrElse(RetentionState(-1L, 0L))
+          rows.toSeq.sortBy(_.tsUs).foreach { e =>
+            val day = e.tsUs / usPerDay
+            if (st.firstDay < 0) st = RetentionState(day, 0L)
+            val wk = (day - st.firstDay) / 7
+            if (wk >= 0 && wk <= 3)
+              st = st.copy(weekMask = st.weekMask | (1L << wk))
+          }
+          state.update(st)
+          (uid, st.firstDay, st.weekMask)
       }
   }
 
