@@ -1255,6 +1255,42 @@ object Catalog {
           |FROM mr2 m2, mr4 m4""".stripMargin
       }),
 
+    // OPQ-lite permutation search: one PQ chain pair per candidate
+    // coordinate partition (identity reuses the _p chains), corpus-total
+    // reconstruction error per candidate, direction flags measured
+    QuerySpec("e20_opq_permute", SimilarityQueries.e20OpqPermute,
+      Some {
+        val m = SimilarityQueries.PqM
+        val sub = 64 / m
+        val others = SimilarityQueries.OpqPerms.filter(_._1 != "identity")
+        val chains = others.map { case (name, perm) =>
+          (0 until m).map { s =>
+            val idx = perm.slice(s * sub, (s + 1) * sub)
+            kmeansCtes(SimilarityQueries.PqK, SimilarityQueries.PqRounds, sub,
+              sfx = s"_o${name}_$s",
+              vecSql = s"list_transform([${idx.mkString(", ")}], i -> (embedding::DOUBLE[])[i])")
+          }.mkString(",\n")
+        }.mkString(",\n")
+        def err(name: String, sfxs: Seq[String]): String = {
+          val u = sfxs.map(x => s"SELECT sq FROM af$x").mkString(" UNION ALL ")
+          s"""SELECT '$name' AS perm,
+             |    CAST(sum(CAST(floor(sq * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS total_err
+             |  FROM ($u) u_$name""".stripMargin
+        }
+        val errs = (err("identity", (0 until m).map(s => s"_p$s")) +:
+          others.map { case (name, _) =>
+            err(name, (0 until m).map(s => s"_o${name}_$s"))
+          }).mkString("\n  UNION ALL ")
+        s"""WITH $pqCtes,
+          |$chains,
+          |errs AS (
+          |  $errs)
+          |SELECT perm, total_err,
+          |  total_err <= (SELECT total_err FROM errs WHERE perm = 'identity') AS beats_identity,
+          |  total_err = (SELECT min(total_err) FROM errs) AS is_best
+          |FROM errs ORDER BY perm""".stripMargin
+      }),
+
     // ------------------------------------------------ embeddings pipeline
 
     QuerySpec("e1_knn_brute", SimilarityQueries.e1KnnBrute,

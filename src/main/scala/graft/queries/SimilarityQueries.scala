@@ -409,6 +409,73 @@ object SimilarityQueries {
       .withColumn("finer_wins", col("mean_recall_m4") >= col("mean_recall_m2"))
   }
 
+  /** Coordinate PARTITIONS for the OPQ-lite dial (e20): how the 64 dims
+    * split into the m=2 subspaces. Only the partition matters to PQ
+    * distortion — reordering coordinates WITHIN a subspace is an isometry
+    * of the slice (identical Lloyd trajectory up to coordinate labels) —
+    * but the order is kept identical on both engines so hashes match.
+    * All candidates are deterministic; "identity" is the contiguous
+    * split every other PQ gate uses. */
+  val OpqPerms: Seq[(String, Seq[Int])] = Seq(
+    "identity" -> (1 to 64),
+    "even_odd" -> ((1 to 63 by 2) ++ (2 to 64 by 2)),
+    "quarters" -> ((1 to 16) ++ (33 to 48) ++ (17 to 32) ++ (49 to 64)),
+    "mod4_pairs" -> ((1 to 64).filter(i => i % 4 == 1 || i % 4 == 2)
+      ++ (1 to 64).filter(i => i % 4 == 3 || i % 4 == 0)))
+
+  /** OPQ-lite permutation search (e20): e19 measured that PQ geometry can
+    * LOSE to coarser slicing when the subspace-independence assumption
+    * breaks — the phenomenon OPQ's learned rotation fixes (Ge et al.
+    * 2013). Full OPQ (SVD per iteration) is out of scope in-plan; the
+    * honest, deterministic middle step is a PERMUTATION search: train PQ
+    * under a small fixed candidate set of coordinate partitions
+    * ([[OpqPerms]]) on the same codebook budget and measure total
+    * reconstruction error. One row per candidate with `beats_identity`
+    * (direction flag, e16's pattern — measured, not asserted) and
+    * `is_best`. The three non-identity candidates train FUSED (6 chains,
+    * one barrier set per round); identity's error comes from the session
+    * fixture's raw PQ codes — the same arithmetic as its own chain. A
+    * production OPQ-lite would pick `is_best` and store the winning
+    * permutation with the codebooks (one extra int per dim).
+    *
+    * Measured on the synthetic corpus (sf0.01): identity wins — the
+    * embeddings are isotropic, so no coordinate partition finds structure
+    * to exploit, the same honest direction e19 reports for finer m. On
+    * real embeddings with correlated blocks the dial turns; the gate pins
+    * the MEASUREMENT machinery, not a foregone winner. */
+  def e20OpqPermute(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity.{pqModelFrom, slicedVecs}
+    val subLen = KmeansDims / PqM
+    val idCodes = Models.coarsePq(s, d).codes
+    val par = s.sparkContext.defaultParallelism
+    val emb = Tables.embeddings(s, d).repartition(par)
+    val others = OpqPerms.filter(_._1 != "identity")
+    val vecs = others.zipWithIndex.map { case ((_, perm), pi) =>
+      val permuted = emb.select(col("vec_id"),
+        array(perm.map(i => element_at(col("embedding"), i)): _*).as("embedding"))
+      slicedVecs(permuted, PqM, subLen, pi * PqM)
+    }.reduce(_ unionAll _)
+    val codes = pqModelFrom(vecs, PqK, PqRounds, subLen, others.size * PqM)._1
+    def total(c: DataFrame, permName: String): DataFrame =
+      c.select(graft.operators.Relational.round4(col("sq"))
+        .cast("decimal(18,4)").as("sqr"))
+        .agg(sum(col("sqr")).cast("double").as("total_err"))
+        .select(lit(permName).as("perm"), col("total_err"))
+    val all = (total(idCodes, "identity") +: others.zipWithIndex.map {
+      case ((name, _), pi) =>
+        total(codes.filter(col("sub") >= pi * PqM && col("sub") < (pi + 1) * PqM), name)
+    }).reduce(_ unionAll _)
+      .localCheckpoint(true) // 4 rows; read three times below
+    all
+      .crossJoin(broadcast(all.filter(col("perm") === "identity")
+        .select(col("total_err").as("__id"))))
+      .crossJoin(broadcast(all.agg(min(col("total_err")).as("__min"))))
+      .select(col("perm"), col("total_err"),
+        (col("total_err") <= col("__id")).as("beats_identity"),
+        (col("total_err") === col("__min")).as("is_best"))
+      .orderBy(col("perm"))
+  }
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles
