@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The model store's end-to-end contract: a coarse+PQ model trained,
+  * saved to parquet, and reloaded must drive [[Similarity.ivfPqSearchFrom]]
+  * to EXACTLY the rows the in-memory model produces — train once, store,
+  * search forever, no retraining drift. Also pins the geometry guard. */
+class ModelStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted = {
+    // two well-separated cells with in-cell jitter: searches have real
+    // structure to rank, not degenerate ties
+    val rnd = new scala.util.Random(5)
+    (0 until 24).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0f, 0f, 0f) else Array(0f, 0f, 1.0f, 0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("a saved-and-reloaded model reproduces the in-memory model's search rows exactly") {
+    val docs = planted
+    val queries = docs.filter($"vec_id" < 4)
+    val (m, k, coarseK, dims) = (2, 2, 2, 4)
+    val (assigned, centroids, codes, books) =
+      Similarity.coarsePqModels(docs, coarseK, 2, m, k, 2, dims)
+    val expect = Similarity.ivfPqSearchFrom(
+      assigned, centroids, codes, books, queries, m, dims / m, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, assigned, centroids, codes, books, m, k, coarseK, dims)
+    val (la, lc, lcodes, lbooks) = ModelStore.loadCoarsePq(spark, dir, m, k, coarseK, dims)
+    val served = Similarity.ivfPqSearchFrom(
+      la, lc, lcodes, lbooks, queries, m, dims / m, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    assert(expect.nonEmpty, "degenerate fixture: the search returned nothing")
+    assert(served == expect, "reloaded-model search diverges from the training run")
+  }
+
+  test("loading with mismatched geometry fails fast") {
+    val docs = planted
+    val (assigned, centroids, codes, books) =
+      Similarity.coarsePqModels(docs, 2, 2, 2, 2, 2, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, assigned, centroids, codes, books, 2, 2, 2, 4)
+    val e = intercept[IllegalArgumentException] {
+      ModelStore.loadCoarsePq(spark, dir, 4, 2, 2, 4)
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+}
