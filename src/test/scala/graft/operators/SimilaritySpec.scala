@@ -67,6 +67,29 @@ class SimilaritySpec extends SparkSpec {
     assert(learned == brute, s"learned multi-probe $learned vs brute $brute")
   }
 
+  test("fused coarse+PQ training equals the independent kmeans and pqModel chains exactly") {
+    // the whole point of coarsePqModels is scheduling, not math: every
+    // chain must be row-identical to its standalone run — coarse rounds
+    // deliberately differ from PQ rounds so the freeze path is exercised
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 30).map(i =>
+      (i.toLong * 3 + 7, Array.fill(8)(rnd.nextFloat() * 2 - 1))) // sparse ids
+      .toDF("vec_id", "embedding")
+    val (coarseK, coarseRounds, m, k, rounds, dims) = (3, 3, 2, 4, 2, 8)
+    val (fa, fc, fcodes, fbooks) =
+      Similarity.coarsePqModels(docs, coarseK, coarseRounds, m, k, rounds, dims)
+    val (ia, ic) = Similarity.kmeans(docs, coarseK, coarseRounds, dims)
+    val (icodes, ibooks) = Similarity.pqModel(docs, m, k, rounds, dims)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(fa.select($"vec_id", $"cluster", $"sq")) ==
+      rows(ia.select($"vec_id", $"cluster", $"sq")), "coarse assignments diverge")
+    assert(rows(fc) == rows(ic), "coarse centroids diverge")
+    assert(rows(fcodes) == rows(icodes), "PQ codes diverge")
+    assert(rows(fbooks) == rows(ibooks), "PQ codebooks diverge")
+  }
+
   test("kmeans: sparse ids seed correctly; k > corpus and duplicate vectors degrade gracefully") {
     // ids nowhere near 0..k-1: seeds are the k SMALLEST ids, labeled 0..k-1
     val sparse = Seq(
