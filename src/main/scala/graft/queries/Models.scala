@@ -71,6 +71,14 @@ object Models {
     CoarsePq(assigned, centroids, codes, pqBooks)
   }
 
+  /** Brute-force L2 top-5 truth over the standard query batch — the
+    * evaluation denominator e18 and e19 share. Deterministic (exact
+    * distances, (d2, n_id) ranking), so one checkpointed copy serves every
+    * evaluation gate; each oracle still replays its own. */
+  def l2Truth5(s: SparkSession, d: String): DataFrame = memo(s, d, "l2Truth5") {
+    SimilarityQueries.l2Truth(s, d, 5).localCheckpoint(true)
+  }
+
   def residualPq(s: SparkSession, d: String): ResidualPq = memo(s, d, "residualPq") {
     val cp = coarsePq(s, d)
     val subLen = KmeansDims / PqM

@@ -332,7 +332,7 @@ object SimilarityQueries {
     * Same broadcast-queries / per-partition-top-k shape as
     * [[graft.operators.Similarity.knnBruteForce]], distance
     * ‖q‖² − 2·q·n + ‖n‖² ranked (asc, n_id). */
-  private def l2Truth(s: SparkSession, d: String, k: Int): DataFrame = {
+  private[queries] def l2Truth(s: SparkSession, d: String, k: Int): DataFrame = {
     import graft.operators.Similarity.dot
     val c = Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
@@ -354,7 +354,7 @@ object SimilarityQueries {
   }
 
   def e18IvfadcRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = l2Truth(s, d, 5)
+    val truth = Models.l2Truth5(s, d)
     val cp = Models.coarsePq(s, d)
     val rp = Models.residualPq(s, d)
     val approx = graft.operators.Similarity.ivfAdcResidualSearchFrom(
@@ -384,7 +384,7 @@ object SimilarityQueries {
     * means and the same flag. */
   def e19PqDial(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Similarity.{pqAdcSearch, pqAdcSearchFrom}
-    val truth = l2Truth(s, d, 5)
+    val truth = Models.l2Truth5(s, d)
     // m=2 is the session fixture's geometry; m=4 is this gate's own
     // comparison arm and trains in-plan (no other consumer)
     def search(m: Int): DataFrame =
