@@ -26,7 +26,11 @@ class CacheLifecycleSpec extends SparkSpec {
       // corpora and labeled bases; c5 additionally drives the component
       // iteration's persisted edge list
       "e15_ivf_pq_search", "e16_residual_pq", "e17_ivfadc_search",
-      "c5_semantic_dedup")
+      "c5_semantic_dedup",
+      // round 6: the session model fixtures (Models) checkpoint the fused
+      // training outputs behind every e-family gate; e20 additionally
+      // checkpoints its per-permutation error table
+      "e20_opq_permute", "e18_ivfadc_recall")
     for (name <- sharing) {
       Catalog.queries(name)(spark, dir).collect()
       assert(spark.sharedState.cacheManager.isEmpty,
