@@ -530,11 +530,16 @@ object Catalog {
     // what a single pass estimates (register max-merge is associative);
     // engine-specific estimates stay out of the gate — booleans + exact
     // twin only, a8's pattern
+    // HLL mergeability: sharded unions (4-way and 8-way) and the single
+    // pass must all estimate within the sketch bound — union estimates are
+    // NOT bit-identical across shardings (see the a13 scaladoc), so the
+    // oracle pins the bound booleans and the exact twin
     QuerySpec("a13_hll_merge", RelationalQueries.a13HllMerge,
       Some("""SELECT event_type,
         |  count(DISTINCT user_id) AS exact_users,
-        |  TRUE AS merge_exact,
-        |  TRUE AS approx_ok
+        |  TRUE AS approx_ok,
+        |  TRUE AS merge4_ok,
+        |  TRUE AS merge8_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Count-Min heavy hitters: the whole grid is deterministic integer

@@ -511,32 +511,46 @@ object RelationalQueries {
   }
 
   /** HLL sketch MERGEABILITY as a gate — the property that makes
-    * distinct-counting shardable at 100 TB: per-shard DataSketches HLL
-    * sketches union into exactly the register state a single pass would
-    * build (register max-merge is associative and commutative), so the
-    * merged estimate must EQUAL the single-pass estimate, not just
-    * approximate it. `merge_exact` pins that equality; `approx_ok` bounds
-    * the estimate against the exact count (a8's pattern — the estimates
-    * themselves are engine-specific, so the oracle pins the booleans and
-    * the exact twin). */
+    * distinct-counting shardable at 100 TB, stated HONESTLY: a sharded
+    * computation (per-shard DataSketches HLL sketches, unioned) must
+    * estimate within the sketch's error bound for ANY sharding — here
+    * both a 4-way and an 8-way user-hash sharding — alongside the
+    * single-pass estimate. The oracle pins the booleans and the exact
+    * twin (the estimates themselves are engine-specific).
+    *
+    * Why not pin merged == single-pass exactly (this gate's first, WRONG,
+    * formulation — it passed at sf0.01 and broke at sf0.1): DataSketches'
+    * direct estimate uses the order-dependent HIP estimator, and even
+    * with the estimator held fixed through the union path the merged
+    * register state is NOT bit-identical to a single pass in the
+    * sparse→dense transition band — measured drift at 1.5 k distinct:
+    * union-of-4 = 1500, union-of-8 = 1492, single-pass = 1493, and
+    * contiguous-range sharding differs from hash sharding (4944 vs 4986
+    * at 5 k). Union adds its own bounded error; what a 100 TB deployment
+    * actually relies on is that the bound holds REGARDLESS of how the
+    * data was partitioned, which is exactly what this gate now witnesses
+    * (5 % ≈ 3σ at lgK = 12; observed drift is under 1 %). */
   def a13HllMerge(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val byShard = ev
-      .withColumn("__shard", pmod(col("user_id"), lit(4)))
+    def unionEst(shards: Int): DataFrame = ev
+      .withColumn("__shard", pmod(col("user_id"), lit(shards)))
       .groupBy(col("event_type"), col("__shard"))
       .agg(hll_sketch_agg(col("user_id")).as("__sk"))
-    val merged = byShard
       .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est_merged"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as(s"__est_$shards"))
     val whole = ev
       .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("__est_whole"),
-        count_distinct(col("user_id")).as("exact_users"))
-    whole.join(merged, Seq("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("__est_1"))
+    def ok(est: Column): Column =
+      abs(est - col("exact_users")) <= col("exact_users").cast("double") * 0.05
+    whole
+      .join(unionEst(4), Seq("event_type"))
+      .join(unionEst(8), Seq("event_type"))
       .select(col("event_type"), col("exact_users"),
-        (col("__est_merged") === col("__est_whole")).as("merge_exact"),
-        (abs(col("__est_whole") - col("exact_users")) <=
-          col("exact_users").cast("double") * 0.05).as("approx_ok"))
+        ok(col("__est_1")).as("approx_ok"),
+        ok(col("__est_4")).as("merge4_ok"),
+        ok(col("__est_8")).as("merge8_ok"))
       .orderBy(col("event_type"))
   }
 
