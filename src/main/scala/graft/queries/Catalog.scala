@@ -231,6 +231,59 @@ object Catalog {
          |  floor(sq * 10000 + 0.5) / 10000 AS sq FROM af_p$s""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Full IVF-PQ search oracle (coarse chain → probed cells → LUT →
+    * (cell, sub, code) scoring join). Shared by e15 (in-memory search)
+    * and e21 (same search from a parquet-round-tripped model — the store
+    * must be invisible to the result, so the oracle is identical). */
+  private val ivfPqSearchOracleSql: String = {
+    val m = SimilarityQueries.PqM
+    val r = SimilarityQueries.PqRounds
+    val sub = 64 / m
+    val books = (0 until m).map(s =>
+      s"SELECT $s AS sub, cluster, c FROM c${r}_p$s").mkString("\n  UNION ALL ")
+    val qs = (0 until m).map(s =>
+      s"""SELECT vec_id AS q_id, $s AS sub,
+         |    (embedding::DOUBLE[])[${s * sub + 1}:${(s + 1) * sub}] AS qe
+         |  FROM embeddings WHERE vec_id < 10""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    val codes = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS sub, cluster AS code FROM af_p$s").mkString("\n  UNION ALL ")
+    s"""WITH $kmCtes,
+      |$pqCtes,
+      |cn AS (SELECT cluster, c, sqrt(list_dot_product(c, c)) AS cent_norm
+      |  FROM c${SimilarityQueries.KmeansRounds}),
+      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
+      |  FROM embeddings WHERE vec_id < 10),
+      |pr AS (SELECT q_id, cluster,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY list_dot_product(qe, c) / (q_norm * cent_norm) DESC, cluster) AS prank
+      |  FROM q, cn),
+      |probed AS (SELECT q_id, cluster AS q_cell FROM pr WHERE prank <= 2),
+      |books AS (
+      |  $books),
+      |qs AS (
+      |  $qs),
+      |lut AS (SELECT q_id, sub, cluster AS code,
+      |    CAST(floor((list_dot_product(qe, qe) - 2 * list_dot_product(qe, c)
+      |      + list_dot_product(c, c)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS part
+      |  FROM qs JOIN books USING (sub)),
+      |codes AS (
+      |  $codes),
+      |cellcodes AS (SELECT cd.vec_id, af.cluster AS cell, cd.sub, cd.code
+      |  FROM codes cd JOIN af ON cd.vec_id = af.vec_id),
+      |sc AS (SELECT l.q_id, cc.vec_id AS n_id, CAST(sum(l.part) AS DOUBLE) AS adc
+      |  FROM cellcodes cc
+      |  JOIN probed p ON cc.cell = p.q_cell
+      |  JOIN lut l ON l.q_id = p.q_id AND cc.sub = l.sub AND cc.code = l.code
+      |  WHERE l.q_id <> cc.vec_id GROUP BY 1, 2),
+      |r AS (SELECT q_id, n_id, adc,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS INT) AS rank
+      |  FROM sc)
+      |SELECT q_id, n_id, rank, adc FROM r WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- specs
 
   val specs: Seq[QuerySpec] = Seq(
@@ -1499,54 +1552,14 @@ object Catalog {
     // probed cells, the PQ chains (pqCtes) supply codebooks + codes, and
     // the ADC join is keyed on (cell, sub, code) — only probed cells score
     QuerySpec("e15_ivf_pq_search", SimilarityQueries.e15IvfPqSearch,
-      Some {
-        val m = SimilarityQueries.PqM
-        val r = SimilarityQueries.PqRounds
-        val sub = 64 / m
-        val books = (0 until m).map(s =>
-          s"SELECT $s AS sub, cluster, c FROM c${r}_p$s").mkString("\n  UNION ALL ")
-        val qs = (0 until m).map(s =>
-          s"""SELECT vec_id AS q_id, $s AS sub,
-             |    (embedding::DOUBLE[])[${s * sub + 1}:${(s + 1) * sub}] AS qe
-             |  FROM embeddings WHERE vec_id < 10""".stripMargin)
-          .mkString("\n  UNION ALL ")
-        val codes = (0 until m).map(s =>
-          s"SELECT vec_id, $s AS sub, cluster AS code FROM af_p$s").mkString("\n  UNION ALL ")
-        s"""WITH $kmCtes,
-          |$pqCtes,
-          |cn AS (SELECT cluster, c, sqrt(list_dot_product(c, c)) AS cent_norm
-          |  FROM c${SimilarityQueries.KmeansRounds}),
-          |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
-          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
-          |  FROM embeddings WHERE vec_id < 10),
-          |pr AS (SELECT q_id, cluster,
-          |    row_number() OVER (PARTITION BY q_id
-          |      ORDER BY list_dot_product(qe, c) / (q_norm * cent_norm) DESC, cluster) AS prank
-          |  FROM q, cn),
-          |probed AS (SELECT q_id, cluster AS q_cell FROM pr WHERE prank <= 2),
-          |books AS (
-          |  $books),
-          |qs AS (
-          |  $qs),
-          |lut AS (SELECT q_id, sub, cluster AS code,
-          |    CAST(floor((list_dot_product(qe, qe) - 2 * list_dot_product(qe, c)
-          |      + list_dot_product(c, c)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS part
-          |  FROM qs JOIN books USING (sub)),
-          |codes AS (
-          |  $codes),
-          |cellcodes AS (SELECT cd.vec_id, af.cluster AS cell, cd.sub, cd.code
-          |  FROM codes cd JOIN af ON cd.vec_id = af.vec_id),
-          |sc AS (SELECT l.q_id, cc.vec_id AS n_id, CAST(sum(l.part) AS DOUBLE) AS adc
-          |  FROM cellcodes cc
-          |  JOIN probed p ON cc.cell = p.q_cell
-          |  JOIN lut l ON l.q_id = p.q_id AND cc.sub = l.sub AND cc.code = l.code
-          |  WHERE l.q_id <> cc.vec_id GROUP BY 1, 2),
-          |r AS (SELECT q_id, n_id, adc,
-          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS INT) AS rank
-          |  FROM sc)
-          |SELECT q_id, n_id, rank, adc FROM r WHERE rank <= 5
-          |ORDER BY q_id, rank""".stripMargin
-      }),
+      Some(ivfPqSearchOracleSql)),
+
+    // stored-model serving: persist the trained model as parquet tables
+    // (ModelStore), load it back, search from the LOADED tables — the
+    // store must be invisible to the result, so the oracle is e15's
+    // training + search chain verbatim
+    QuerySpec("e21_stored_model_search", SimilarityQueries.e21StoredModelSearch,
+      Some(ivfPqSearchOracleSql)),
 
     // residual vs raw PQ: the coarse chain's residuals feed their own pair
     // of subspace chains; per-vector reconstruction errors (exact decimal

@@ -476,6 +476,35 @@ object SimilarityQueries {
       .orderBy(col("perm"))
   }
 
+  /** Stored-model serving (the deployment contract IN the correctness
+    * record): persist the session-trained coarse+PQ model through
+    * [[graft.operators.ModelStore]] — plain parquet tables, the form a
+    * 100 TB deployment trains once and serves from — load it back, and
+    * run the IVF-PQ search from the LOADED tables. Doubles round-trip
+    * parquet bit-exactly and every serving fold orders by (cluster, sub)
+    * packs rather than storage order, so the result must be row-for-row
+    * identical to e15's in-memory search; the oracle replays the full
+    * training + search chain (same SQL as e15). `ModelStoreSpec` pins the
+    * round-trip in isolation; this gate pins it against the cross-engine
+    * oracle. The store path is session-salted tmp, overwritten per call —
+    * a bench pass measures the full save + load + search round trip. */
+  def e21StoredModelSearch(s: SparkSession, d: String): DataFrame = {
+    val cp = Models.coarsePq(s, d)
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_model_store_${s.sparkContext.applicationId}",
+      java.lang.Integer.toHexString(d.hashCode)).toString
+    graft.operators.ModelStore.saveCoarsePq(
+      dir, cp.assigned, cp.centroids, cp.codes, cp.books,
+      PqM, PqK, KmeansK, KmeansDims)
+    val (assigned, centroids, codes, books) =
+      graft.operators.ModelStore.loadCoarsePq(s, dir, PqM, PqK, KmeansK, KmeansDims)
+    graft.operators.Similarity.ivfPqSearchFrom(
+      assigned, centroids, codes, books, queriesSide(s, d),
+      PqM, KmeansDims / PqM, topK = 5, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Per-label centroid (the IVF training step made explicit): elementwise
     * mean over each cell's vectors via posexplode → (label, dim) partial
     * averages, emitted as scalar (label, dim, c) rows. The explode shuffles
