@@ -585,14 +585,59 @@ object TextOps {
     * pair. A full BPE trainer loops this: apply the best merge, re-count;
     * each iteration is this same scan + bounded exchange. */
   def bpePairCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .select(explode(tokens(col(textCol))).as("__w"))
+    adjacentPairCounts(docs.select(explode(tokens(col(textCol))).as("__w")))
+
+  /** Corpus-wide adjacent symbol-pair counts over a token column `__w`
+    * (the [[bpePairCounts]] core, reused per iteration by
+    * [[bpeTrainMerges]]). */
+  private def adjacentPairCounts(toks: DataFrame): DataFrame =
+    toks
       .select(explode(when(length(col("__w")) >= 2,
         transform(sequence(lit(1), length(col("__w")) - 1),
           i => col("__w").substr(i, lit(2))))
         .otherwise(array().cast("array<string>"))).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** ITERATED BPE merge training (Sennrich et al. 2016's actual loop, not
+    * just its first pair count): `iters` rounds of count adjacent pairs →
+    * take the argmax (cnt desc, pair asc) → apply the merge corpus-wide →
+    * re-count. Returns one row per round: (iter, pair, cnt) — the merge
+    * table a tokenizer trainer emits.
+    *
+    * The key representation choice: each merged symbol becomes ONE fresh
+    * private-use-area character (U+E000 + round), so symbols stay single
+    * characters forever. That makes (a) adjacent-pair formation the same
+    * 2-char-substring scan every round, and (b) applying a merge exactly
+    * `replace(token, pair, sentinel)` — left-to-right non-overlapping
+    * greedy replacement, which is precisely BPE's merge semantics and is
+    * implemented identically by Spark's `StringReplace` and the oracle
+    * engine's `replace`. No per-token stateful fold, no UDF.
+    *
+    * Plan shape per round: one scan of the token set (with the previous
+    * rounds' replaces fused into the scan stage) + one pair-keyed count
+    * whose exchange is bounded by the live alphabet squared + a 1-row
+    * argmax that broadcasts back into the next round's scan. The argmax is
+    * localCheckpointed — 1 row — so round i's plan does not re-derive
+    * rounds 1..i-1's counts. At 100 TB a real ~30k-merge training runs
+    * this loop on a hash-sample of the corpus ([[hashSample]]'s idiom) and
+    * ships the merge table as a broadcast artifact; the loop body is this
+    * same scan + bounded exchange either way. */
+  def bpeTrainMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"sentinel range supports 32 rounds, got $iters")
+    var toks = docs.select(explode(tokens(col(textCol))).as("__w"))
+    val steps = (0 until iters).map { i =>
+      val top1 = adjacentPairCounts(toks)
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .localCheckpoint(true) // 1 row: the chosen merge
+      val sentinel = new String(Character.toChars(0xE000 + i))
+      toks = toks
+        .crossJoin(broadcast(top1.select(col("pair").as("__m"))))
+        .select(replace(col("__w"), col("__m"), lit(sentinel)).as("__w"))
+      top1.select(lit(i + 1).as("iter"), col("pair"), col("cnt"))
+    }
+    steps.reduce(_ unionAll _)
+  }
 
   /** Content fingerprint: md5 of the full text. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))

@@ -941,6 +941,36 @@ object Catalog {
         |  FROM c) r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
+    // iterated BPE: 3 rounds of count → argmax merge → replace → re-count;
+    // merged symbols are single PUA sentinel chars (U+E000+round) so pair
+    // formation stays the 2-char-substring scan and merge application is
+    // plain replace() — same greedy left-to-right semantics on both engines
+    QuerySpec("t21_bpe_train", TextQueries.t21BpeTrain,
+      Some {
+        val rounds = 3
+        val counts = (1 to rounds).map { i =>
+          s"""c$i AS (SELECT pair, count(*) AS cnt FROM (
+             |    SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+             |      i -> substr(w, i, 2))) AS pair
+             |    FROM t${i - 1} WHERE length(w) >= 2) GROUP BY pair),
+             |m$i AS (SELECT pair, cnt FROM c$i ORDER BY cnt DESC, pair LIMIT 1)"""
+            .stripMargin
+        }
+        val rewrites = (1 until rounds).map { i =>
+          s"""t$i AS (SELECT replace(w, (SELECT pair FROM m$i),
+             |  chr(${0xE000 + i - 1})) AS w FROM t${i - 1})""".stripMargin
+        }
+        val ctes = (counts.take(1) ++
+          (1 until rounds).flatMap(i => Seq(rewrites(i - 1), counts(i))))
+          .mkString(",\n")
+        val out = (1 to rounds).map(i =>
+          s"SELECT $i AS iter, pair, cnt FROM m$i").mkString("\nUNION ALL ")
+        s"""WITH t0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |$ctes
+           |$out
+           |ORDER BY iter""".stripMargin
+      }),
+
     QuerySpec("t10_repetition", TextQueries.t10Repetition,
       Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),

@@ -274,6 +274,19 @@ object TextQueries {
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("rank"))
 
+  /** Iterated BPE training ([[graft.operators.TextOps.bpeTrainMerges]]):
+    * THREE rounds of the count → argmax → merge → re-count loop t20 takes
+    * the first step of. Rounds 2-3 count pairs over symbols the earlier
+    * merges created (each merged pair collapses to one private-use-area
+    * sentinel character), so the gate exercises the part a single pair
+    * count cannot: the merge application and the re-count over the
+    * rewritten corpus. The oracle replays all three rounds with the same
+    * sentinel encoding — `replace` is left-to-right non-overlapping greedy
+    * on both engines, which IS BPE's merge rule. */
+  def t21BpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.bpeTrainMerges(Tables.documents(s, d), "text", 3)
+      .orderBy(col("iter"))
+
   /** Per-document top-5 terms by TF-IDF. Plan shape at scale: ONE explode
     * feeds everything — df is an unbounded COUNT WINDOW over the (doc,
     * term) tf aggregate (tf rows are distinct (doc, term) pairs by

@@ -34,4 +34,31 @@ class BpePairsSpec extends SparkSpec {
       "text").as[(String, Long)].collect().toMap
     assert(got == naive(texts))
   }
+
+  test("iterated training: merge, re-count, and merge merged symbols") {
+    // tokens: aaab, aaab, ab
+    //   round 1: aa=4, ab=3            -> merge "aa" = U+E000 (call it A)
+    //   tokens become Aab, Aab, ab
+    //   round 2: Aa=2, ab=3            -> merge "ab" = U+E001 (call it B)
+    //   tokens become AB, AB, B
+    //   round 3: AB=2                  -> merge "AB" (two sentinels!)
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainMerges(docs, "text", 3)
+      .orderBy(col("iter")).as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "aa", 4L), (2, "ab", 3L), (3, "", 2L)))
+  }
+
+  test("merge application is greedy left-to-right non-overlapping") {
+    // "aaaa" under merge "aa" must become two sentinels (never three
+    // overlapping matches); "aaa" becomes sentinel + trailing 'a'
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainMerges(docs, "text", 2)
+      .orderBy(col("iter")).as[(Int, String, Long)].collect().toSeq
+    // round 1: pairs aa=3+2 -> merge "aa"; tokens: E000 E000, E000 a
+    // round 2: pairs (E000,E000)=1 and (E000,a)=1 tie -> pair asc picks
+    //   E000+'a' ('a' = U+0061 sorts below U+E000; UTF-8 byte order ==
+    //   codepoint order on both engines)
+    assert(got == Seq((1, "aa", 5L), (2, "a", 1L)))
+  }
 }
