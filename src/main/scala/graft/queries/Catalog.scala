@@ -1671,6 +1671,38 @@ object Catalog {
         |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
 
+    // ADC re-rank refine step: e17's IVFADC chain yields a 20-candidate
+    // shortlist; only those rows fetch raw vectors and re-rank by exact
+    // L2; recall@5 vs the brute truth, side by side with ADC-only@5 —
+    // rerank_ge is a theorem (truth members in the shortlist always
+    // outrank non-members exactly) and must come out TRUE
+    QuerySpec("e22_adc_rerank", SimilarityQueries.e22AdcRerank,
+      Some(s"""WITH $ivfadcCtes,
+        |short AS (SELECT q_id, n_id, rank FROM r WHERE rank <= 20),
+        |ex AS (SELECT s.q_id, s.n_id,
+        |    list_dot_product(q.qe, q.qe) - 2 * list_dot_product(q.qe, v.v)
+        |      + v.dxx AS d2
+        |  FROM short s JOIN q USING (q_id) JOIN v ON s.n_id = v.vec_id),
+        |rr AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id) AS rk
+        |  FROM ex) t WHERE rk <= 5),
+        |adc5 AS (SELECT q_id, n_id FROM short WHERE rank <= 5),
+        |bs AS (SELECT q.q_id, v.vec_id AS n_id,
+        |    list_dot_product(qe, qe) - 2 * list_dot_product(qe, v.v) + v.dxx AS d2
+        |  FROM q, v WHERE q.q_id <> v.vec_id),
+        |truth AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id) AS rank
+        |  FROM bs) t WHERE rank <= 5)
+        |SELECT t.q_id, count(*) AS n_truth,
+        |  count(a.n_id) AS hit_adc, count(e.n_id) AS hit_rerank,
+        |  floor(count(a.n_id) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS recall_adc,
+        |  floor(count(e.n_id) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS recall_rerank,
+        |  count(e.n_id) >= count(a.n_id) AS rerank_ge
+        |FROM truth t
+        |LEFT JOIN adc5 a ON t.q_id = a.q_id AND t.n_id = a.n_id
+        |LEFT JOIN rr e ON t.q_id = e.q_id AND t.n_id = e.n_id
+        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
+
     QuerySpec("e9_kmeans_assign", SimilarityQueries.e9KmeansAssign,
       Some(s"""WITH $kmCtes
         |SELECT vec_id, cluster, floor(sq * 10000 + 0.5) / 10000 AS sq_dist

@@ -372,6 +372,74 @@ object SimilarityQueries {
       .orderBy(col("q_id"))
   }
 
+  /** ADC shortlist re-ranking (e22) — the refine step of Jégou et al.
+    * 2011 §III-C that production IVFADC deployments run: the compressed-
+    * domain search produces a SHORTLIST of R = 20 candidates per query
+    * (cheap: code-only scan of the probed cells), then only those R rows
+    * fetch their RAW vectors and re-rank by exact L2, emitting the top 5.
+    *
+    * Why this is the at-scale shape: the expensive asset — the full-
+    * precision vectors — is touched |Q|·R times total, via a broadcast
+    * semi-join of the (tiny) shortlist against the vector store keyed on
+    * vec_id, never scanned. ADC quantization error decides only WHO is in
+    * the shortlist; the final ordering is exact. Recall can only go up:
+    * any true top-5 member present in the 20-candidate shortlist has (by
+    * definition of the truth) a smaller exact distance than every
+    * non-truth candidate, so exact re-ranking always surfaces it —
+    * `rerank_ge` is a theorem, and the gate measures it TRUE per query
+    * against the same brute-force L2 truth e18 grades on. */
+  def e22AdcRerank(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity.dot
+    val truth = Models.l2Truth5(s, d)
+    val cp = Models.coarsePq(s, d)
+    val rp = Models.residualPq(s, d)
+    // compressed-domain shortlist: IVFADC (e17's search, same model) at
+    // topK = 20; checkpointed — two consumers (adc@5 arm + re-rank arm)
+    // must not re-run the ADC join
+    val shortlist = graft.operators.Similarity.ivfAdcResidualSearchFrom(
+      cp.assigned, cp.centroids, rp.codes, rp.books, queriesSide(s, d),
+      PqM, KmeansDims / PqM, topK = 20, nprobe = 2)
+      .select(col("q_id"), col("n_id"), col("rank"))
+      .localCheckpoint(true)
+    val q = queriesSide(s, d)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("q_dxx", dot(col("qe"), col("qe")))
+    // raw vectors ONLY for shortlist members: broadcast the |Q|·R pair
+    // list so the vector fetch is a map-side hash semi-join, not a scan
+    val cand = shortlist.select(col("q_id"), col("n_id"))
+    val fetched = Tables.embeddings(s, d)
+      .select(col("vec_id").as("n_id"),
+        col("embedding").cast("array<double>").as("ne"))
+      .join(broadcast(cand), "n_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("d2", col("q_dxx")
+        - lit(2.0) * dot(col("qe"), col("ne")) + dot(col("ne"), col("ne")))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+    val rr = fetched
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 5)
+      .select(col("q_id").as("r_q"), col("n_id").as("r_n"))
+    val adc5 = shortlist.filter(col("rank") <= 5)
+      .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+    truth
+      .join(broadcast(adc5),
+        col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      .join(broadcast(rr),
+        col("q_id") === col("r_q") && col("n_id") === col("r_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        count(col("a_n")).as("hit_adc"), count(col("r_n")).as("hit_rerank"))
+      .select(col("q_id"), col("n_truth"), col("hit_adc"), col("hit_rerank"),
+        graft.operators.Relational.round4(
+          col("hit_adc").cast("double") / col("n_truth")).as("recall_adc"),
+        graft.operators.Relational.round4(
+          col("hit_rerank").cast("double") / col("n_truth")).as("recall_rerank"),
+        (col("hit_rerank") >= col("hit_adc")).as("rerank_ge"))
+      .orderBy(col("q_id"))
+  }
+
   /** PQ geometry dial, measured: exhaustive-ADC recall@5 against Euclidean
     * truth for m = 2 (6-bit codes) vs m = 4 (12-bit codes) on the same
     * corpus, as ONE row of corpus-level means. `finer_wins` is a MEASURED
