@@ -639,6 +639,47 @@ object TextOps {
     steps.reduce(_ unionAll _)
   }
 
+  /** BPE tokenizer APPLICATION ([[bpeTrainMerges]]'s consumer — the
+    * encode step): re-derive each document's symbol sequence under the
+    * trained merge table and report per-document compression. Application
+    * folds the merges IN TRAINING ORDER over each raw whitespace token —
+    * `aggregate(merges, token, replace(acc, pair, sentinel))` — which
+    * reproduces training's rewrites exactly: round i's pair can only
+    * mention sentinels from rounds < i, so the sequential fold over raw
+    * tokens reaches the same final symbol string training's incremental
+    * corpus rewriting did. Per document: `n_chars` (raw symbols),
+    * `n_symbols` (post-merge), `saved`, and the compression `ratio` —
+    * the metric a tokenizer trainer tunes its merge budget against.
+    *
+    * Plan shape: the merge table collapses to ONE broadcast row (an
+    * iter-sorted struct array — `array_sort` on (iter, pair) structs
+    * orders by iter); the fold is scan-stage string work fused into the
+    * same explode that measures raw length, and the only shuffle is the
+    * (doc_id)-keyed sum. At 100 TB: train the table on a hash-sample
+    * ([[bpeTrainMerges]]'s contract), then THIS operator is the full-
+    * corpus pass — one scan, one broadcast row, one per-doc aggregate. */
+  def bpeSegmentStats(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val sentinels = lit((0 until 32).map(i =>
+      new String(Character.toChars(0xE000 + i))).toArray)
+    val merges = bpeTrainMerges(docs, textCol, iters)
+      .agg(array_sort(collect_list(struct(col("iter"), col("pair")))).as("__ms"))
+    docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("__w"))
+      .crossJoin(broadcast(merges))
+      .select(col("doc_id"), length(col("__w")).as("raw_len"),
+        length(aggregate(col("__ms"), col("__w"),
+          (acc, m) => replace(acc, m.getField("pair"),
+            element_at(sentinels, m.getField("iter"))))).as("merged_len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("raw_len")).as("n_chars"),
+        sum(col("merged_len")).as("n_symbols"))
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"), col("n_symbols"),
+        (col("n_chars") - col("n_symbols")).as("saved"),
+        graft.operators.Relational.round4(
+          col("n_chars").cast("double") / col("n_symbols")).as("ratio"))
+  }
+
   /** Content fingerprint: md5 of the full text. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

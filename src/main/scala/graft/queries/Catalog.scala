@@ -152,6 +152,33 @@ object Catalog {
   private val kmCtes = kmeansCtes(
     SimilarityQueries.KmeansK, SimilarityQueries.KmeansRounds, 64)
 
+  /** Shared BPE training-chain CTEs (t21 training, t22 application):
+    * t0 = the raw (doc_id, token) stream; per round i, c_i counts adjacent
+    * 2-char pairs over t_(i-1), m_i is the argmax merge (cnt desc, pair
+    * asc), and t_i rewrites the stream with that pair collapsed to the
+    * round's U+E000+i−1 sentinel. doc_id rides through every rewrite so
+    * the application gate can re-aggregate per document; the training
+    * gate's counts simply ignore it. */
+  private val BpeRounds = 3
+  private val bpeCtes: String = {
+    val counts = (1 to BpeRounds).map { i =>
+      s"""c$i AS (SELECT pair, count(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+         |      i -> substr(w, i, 2))) AS pair
+         |    FROM t${i - 1} WHERE length(w) >= 2) GROUP BY pair),
+         |m$i AS (SELECT pair, cnt FROM c$i ORDER BY cnt DESC, pair LIMIT 1)"""
+        .stripMargin
+    }
+    val rewrites = (1 to BpeRounds).map { i =>
+      s"""t$i AS (SELECT doc_id, replace(w, (SELECT pair FROM m$i),
+         |  chr(${0xE000 + i - 1})) AS w FROM t${i - 1})""".stripMargin
+    }
+    val ctes = (1 to BpeRounds)
+      .flatMap(i => Seq(counts(i - 1), rewrites(i - 1))).mkString(",\n")
+    s"""t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |$ctes""".stripMargin
+  }
+
   /** One independent Lloyd chain per PQ subspace, trained on that
     * subspace's list slice of the embedding. */
   private val pqCtes: String = {
@@ -947,29 +974,27 @@ object Catalog {
     // plain replace() — same greedy left-to-right semantics on both engines
     QuerySpec("t21_bpe_train", TextQueries.t21BpeTrain,
       Some {
-        val rounds = 3
-        val counts = (1 to rounds).map { i =>
-          s"""c$i AS (SELECT pair, count(*) AS cnt FROM (
-             |    SELECT unnest(list_transform(generate_series(1, length(w) - 1),
-             |      i -> substr(w, i, 2))) AS pair
-             |    FROM t${i - 1} WHERE length(w) >= 2) GROUP BY pair),
-             |m$i AS (SELECT pair, cnt FROM c$i ORDER BY cnt DESC, pair LIMIT 1)"""
-            .stripMargin
-        }
-        val rewrites = (1 until rounds).map { i =>
-          s"""t$i AS (SELECT replace(w, (SELECT pair FROM m$i),
-             |  chr(${0xE000 + i - 1})) AS w FROM t${i - 1})""".stripMargin
-        }
-        val ctes = (counts.take(1) ++
-          (1 until rounds).flatMap(i => Seq(rewrites(i - 1), counts(i))))
-          .mkString(",\n")
-        val out = (1 to rounds).map(i =>
+        val out = (1 to BpeRounds).map(i =>
           s"SELECT $i AS iter, pair, cnt FROM m$i").mkString("\nUNION ALL ")
-        s"""WITH t0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-           |$ctes
+        s"""WITH $bpeCtes
            |$out
            |ORDER BY iter""".stripMargin
       }),
+
+    // BPE application: the t21 chain's final rewritten token stream
+    // (t3) measured per document against the raw stream (t0) — the fold
+    // of sequential replaces per token IS training's rewrite sequence
+    QuerySpec("t22_bpe_apply", TextQueries.t22BpeApply,
+      Some(s"""WITH $bpeCtes,
+        |raw AS (SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS n_chars
+        |  FROM t0 GROUP BY doc_id),
+        |mrg AS (SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS n_symbols
+        |  FROM t$BpeRounds GROUP BY doc_id)
+        |SELECT r.doc_id, r.n_chars, m.n_symbols,
+        |  r.n_chars - m.n_symbols AS saved,
+        |  floor(CAST(r.n_chars AS DOUBLE) / m.n_symbols * 10000 + 0.5) / 10000 AS ratio
+        |FROM raw r JOIN mrg m USING (doc_id)
+        |WHERE r.n_chars > 0 ORDER BY r.doc_id""".stripMargin)),
 
     QuerySpec("t10_repetition", TextQueries.t10Repetition,
       Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

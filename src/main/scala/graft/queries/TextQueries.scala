@@ -287,6 +287,15 @@ object TextQueries {
     graft.operators.TextOps.bpeTrainMerges(Tables.documents(s, d), "text", 3)
       .orderBy(col("iter"))
 
+  /** BPE application ([[graft.operators.TextOps.bpeSegmentStats]]): encode
+    * every document under t21's trained 3-merge table and report per-doc
+    * symbol compression — the tokenizer-budget metric. The merge fold runs
+    * scan-stage against ONE broadcast merge row; the oracle re-trains the
+    * same 3 rounds and applies the same sequential replaces per token. */
+  def t22BpeApply(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.bpeSegmentStats(Tables.documents(s, d), "text", 3)
+      .orderBy(col("doc_id"))
+
   /** Per-document top-5 terms by TF-IDF. Plan shape at scale: ONE explode
     * feeds everything — df is an unbounded COUNT WINDOW over the (doc,
     * term) tf aggregate (tf rows are distinct (doc, term) pairs by

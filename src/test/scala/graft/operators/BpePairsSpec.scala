@@ -49,6 +49,19 @@ class BpePairsSpec extends SparkSpec {
       (1, "aa", 4L), (2, "ab", 3L), (3, "", 2L)))
   }
 
+  test("segment stats: the merge fold reproduces training's rewrites per document") {
+    // same corpus as the iterated-training golden: merges are
+    //   round 1 "aa"→A, round 2 "ab"→B, round 3 "AB"→C
+    // doc 1 "aaab aaab": raw 8 chars; "aaab"→"Aab"→"AB"→"C" = 1 symbol
+    //   per token → n_symbols 2, ratio 8/2 = 4.0
+    // doc 2 "ab": raw 2; "ab"→"B" → 1 symbol, ratio 2.0
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeSegmentStats(docs, "text", 3)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 8L, 2L, 6L, 4.0), (2L, 2L, 1L, 1L, 2.0)))
+  }
+
   test("merge application is greedy left-to-right non-overlapping") {
     // "aaaa" under merge "aa" must become two sentinels (never three
     // overlapping matches); "aaa" becomes sentinel + trailing 'a'
