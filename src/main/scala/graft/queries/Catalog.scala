@@ -622,6 +622,19 @@ object Catalog {
         |  TRUE AS merge8_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // theta-sketch audience overlap: |A ∩ B| per event-type pair must
+    // estimate within 5% of |A ∪ B| on both the direct and the 4-way
+    // sharded-union build; estimates are build-path-dependent so the
+    // oracle pins the exact twin + the bound booleans (a13's pattern)
+    QuerySpec("a14_theta_intersect", RelationalQueries.a14ThetaIntersect,
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS exact_both, TRUE AS direct_ok, TRUE AS sharded_ok,
+        |  TRUE AS est_regime_ok
+        |FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin)),
+
     // Count-Min heavy hitters: the whole grid is deterministic integer
     // math (md5 -> 32-bit -> universal hash), so estimates are gated
     // exactly, not just bounded; DuckDB's HUGEINT sums cast back to BIGINT

@@ -554,6 +554,80 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Theta-sketch set INTERSECTION as a gate (a14) — the operation the
+    * HLL family (a8/a13) cannot express: HLL registers only union, but
+    * theta sketches retain an actual hash sample of the set, so
+    * |A ∩ B| estimates directly (Dasgupta et al. 2016). The question —
+    * "how many distinct users did BOTH event types" — is an audience-
+    * overlap query that exactly (x-type ⋈ y-type on user) costs a
+    * user-keyed shuffle of the full distinct set at 100 TB; sketches
+    * answer it from per-type blobs that are bounded, mergeable, and
+    * REUSABLE across all O(types²) pairs.
+    *
+    * Two sketch paths per type, a13's honesty pattern: a direct per-type
+    * sketch, and a 4-way user-hash-sharded build whose shards union via
+    * [[graft.functions.ThetaUnionAgg]] — the bound must hold for ANY
+    * sharding. Estimates themselves stay out of the gate (theta retained
+    * sets in estimation mode are build-path-dependent); the gate pins the
+    * exact twin and the bound booleans. Bound: at lgK = 12 the intersect
+    * estimate's σ is ~1/√4096 of the UNION size, so the gate allows 5 % of
+    * |A ∪ B| — tight at full overlap, honest when sets are disjoint-ish.
+    * The pair scoring joins two ≤ types-row sketch tables — broadcast NLJ
+    * of tiny frames, codegen'd intersect expression. */
+  def a14ThetaIntersect(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ThetaFunctions.{theta_intersect_estimate, theta_sketch_agg, theta_union_agg}
+    val ev = Tables.events(s, d)
+    // one distinct (type, user) collapse feeds the exact twin AND both
+    // sketch paths: three consumers, one events scan
+    val tu = ev.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(true)
+    val exact = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_both"))
+    // two geometries: lgK=12 is the deployment default (exact-regime at
+    // test scale — a tight 5 % band verifies the serde/merge/intersect
+    // plumbing end-to-end); lgK=7 (nominal 128 < the distinct-user count
+    // from sf0.01 up) forces ESTIMATION mode so the gate also witnesses a
+    // sketch that genuinely approximates, under its published 3σ ≈
+    // 3/√128 ≈ 26.5 % of-the-union bound
+    val smallLgK = 7
+    val direct = tu.groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("__sk"),
+        theta_sketch_agg(col("user_id"), smallLgK).as("__sk7"),
+        count(lit(1)).as("__n"))
+    val sharded = tu
+      .withColumn("__shard", pmod(col("user_id"), lit(4)))
+      .groupBy(col("event_type"), col("__shard"))
+      .agg(theta_sketch_agg(col("user_id")).as("__psk"),
+        theta_sketch_agg(col("user_id"), smallLgK).as("__psk7"))
+      .groupBy(col("event_type"))
+      .agg(theta_union_agg(col("__psk")).as("__msk"),
+        theta_union_agg(col("__psk7"), smallLgK).as("__msk7"))
+    val sk = direct.join(sharded, "event_type")
+    def side(sfx: String) = sk.select(
+      col("event_type").as(s"type_$sfx"), col("__sk").as(s"__sk_$sfx"),
+      col("__sk7").as(s"__sk7_$sfx"), col("__msk").as(s"__msk_$sfx"),
+      col("__msk7").as(s"__msk7_$sfx"), col("__n").as(s"__n_$sfx"))
+    def within(a: Column, b: Column, band: Column): Column =
+      abs(theta_intersect_estimate(a, b) - col("exact_both")) <= band
+    exact
+      .join(broadcast(side("a")), "type_a")
+      .join(broadcast(side("b")), "type_b")
+      // |A ∪ B| = |A| + |B| − |A ∩ B|, from the exact twin columns
+      .withColumn("__union",
+        (col("__n_a") + col("__n_b") - col("exact_both")).cast("double"))
+      .select(col("type_a"), col("type_b"), col("exact_both"),
+        within(col("__sk_a"), col("__sk_b"), col("__union") * 0.05).as("direct_ok"),
+        within(col("__msk_a"), col("__msk_b"), col("__union") * 0.05).as("sharded_ok"),
+        (within(col("__sk7_a"), col("__sk7_b"),
+          col("__union") * (3.0 / math.sqrt(1 << smallLgK))) &&
+          within(col("__msk7_a"), col("__msk7_b"),
+            col("__union") * (3.0 / math.sqrt(1 << smallLgK)))).as("est_regime_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Count-Min heavy hitters (the bounded-memory path a8's scaladoc family
     * completes): build a 4×64 CMS grid over per-user event counts, point-
     * estimate every user against it, and emit the top-10 by estimate with

@@ -81,6 +81,49 @@ class SketchSpec extends SparkSpec {
     assert(ex.getMessage.contains("maybe"))
   }
 
+  test("theta: exact-mode sketches estimate, union, and intersect exactly") {
+    import graft.functions.ThetaFunctions._
+    // 0..99 tagged A, 50..149 tagged B: |A| = |B| = 100, |A ∩ B| = 50 —
+    // far below nominal (lgK=12), so every estimate must be EXACT
+    val rows = ((0L until 100L).map(("A", _)) ++ (50L until 150L).map(("B", _)))
+      .toDF("tag", "id")
+    val direct = rows.groupBy($"tag").agg(theta_sketch_agg($"id").as("sk"))
+    // sharded build: per-shard sketches union to the same sets
+    val sharded = rows.withColumn("shard", pmod($"id", lit(3)))
+      .groupBy($"tag", $"shard").agg(theta_sketch_agg($"id").as("psk"))
+      .groupBy($"tag").agg(theta_union_agg($"psk").as("sk"))
+    for (sk <- Seq(direct, sharded)) {
+      val est = sk.select($"tag", theta_estimate($"sk").as("e"))
+        .as[(String, Double)].collect().toMap
+      assert(est == Map("A" -> 100.0, "B" -> 100.0),
+        s"exact-mode estimates wrong: $est")
+      val both = sk.filter($"tag" === "A").select($"sk".as("ska"))
+        .crossJoin(sk.filter($"tag" === "B").select($"sk".as("skb")))
+        .select(theta_intersect_estimate($"ska", $"skb"))
+        .as[Double].head()
+      assert(both == 50.0, s"exact-mode intersection wrong: $both")
+    }
+  }
+
+  test("theta intersect: interpreted eval equals codegen") {
+    import graft.functions.ThetaFunctions._
+    val rows = ((0L until 40L).map(("A", _)) ++ (20L until 60L).map(("B", _)))
+      .toDF("tag", "id")
+    val sk = rows.groupBy($"tag").agg(theta_sketch_agg($"id").as("sk"))
+      .localCheckpoint(true)
+    def run(codegen: Boolean): Double = {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try sk.filter($"tag" === "A").select($"sk".as("ska"))
+        .crossJoin(sk.filter($"tag" === "B").select($"sk".as("skb")))
+        .select(theta_intersect_estimate($"ska", $"skb"))
+        .as[Double].head()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+    assert(run(codegen = true) == run(codegen = false))
+    assert(run(codegen = true) == 20.0)
+  }
+
   test("grids merge by cell-wise addition") {
     val width = 8
     val left = Sketch.cmsGrid(keyed.filter($"k" <= "u2"), "k", "n", width)
