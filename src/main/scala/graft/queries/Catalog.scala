@@ -622,6 +622,21 @@ object Catalog {
         |  TRUE AS merge8_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // bottom-k-by-hash uniform sample: deterministic distributed
+    // "reservoir" — hash order is a fixed uniform permutation, so both
+    // engines derive the identical sample; rank = hash order
+    QuerySpec("a15_bottomk_sample", RelationalQueries.a15BottomkSample,
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM tu),
+        |r AS (SELECT event_type, user_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h, user_id) AS INT) AS smp_rank
+        |  FROM h)
+        |SELECT event_type, smp_rank, user_id FROM r
+        |WHERE smp_rank <= 10 ORDER BY event_type, smp_rank""".stripMargin)),
+
     // theta-sketch audience overlap: |A ∩ B| per event-type pair must
     // estimate within 5% of |A ∪ B| on both the direct and the 4-way
     // sharded-union build; estimates are build-path-dependent so the

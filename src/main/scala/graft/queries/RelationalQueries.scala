@@ -554,6 +554,38 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Bottom-k uniform sample per group (a15) — the DISTRIBUTED form of
+    * reservoir sampling: keep the k members whose md5 hash is smallest.
+    * Hash order is a fixed uniform permutation of the key space, so the
+    * bottom-k IS a uniform k-sample — with none of reservoir sampling's
+    * order-dependence (a sequential reservoir is irreproducible under
+    * Spark's nondeterministic partition order; bottom-k is a pure
+    * function of the SET). Three scale properties fall out: it runs as a
+    * bounded [[graft.functions.TopKByCount]] aggregate (O(k) per partial
+    * buffer, k·tasks rows shuffled — never the member stream); it is
+    * MERGEABLE (bottom-k of a union = bottom-k of the merged bottom-ks,
+    * the KMV sketch identity); and it is SUBSETTABLE (the bottom-5 is a
+    * prefix of the bottom-10 — shrinking a sample never reshuffles it,
+    * t6/t16's reproducibility contract). The hash is the repo-wide
+    * 32-bit md5 prefix, so the oracle replays it exactly: this gate is
+    * hash-equal, not bounded. cnt = −hash turns TopKByCount's
+    * (cnt DESC, key ASC) into (hash ASC, user ASC). */
+  def a15BottomkSample(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AggregateFunctions.top_k_by_count
+    val tu = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    tu.withColumn("__h", h)
+      .groupBy(col("event_type"))
+      .agg(top_k_by_count(
+        struct((-col("__h")).as("cnt"), col("user_id").as("key")), 10).as("__s"))
+      .select(col("event_type"), posexplode(col("__s")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("smp_rank"),
+        col("col.key").as("user_id"))
+      .orderBy(col("event_type"), col("smp_rank"))
+  }
+
   /** Theta-sketch set INTERSECTION as a gate (a14) — the operation the
     * HLL family (a8/a13) cannot express: HLL registers only union, but
     * theta sketches retain an actual hash sample of the set, so

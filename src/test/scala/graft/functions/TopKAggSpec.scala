@@ -52,4 +52,24 @@ class TopKAggSpec extends SparkSpec {
     // the null-key row is skipped, not ranked
     assert(got == Set((1L, 7L, 5L), (2L, 1L, 1L)))
   }
+
+  test("bottom-k-by-hash sampling is mergeable and prefix-stable (a15's contract)") {
+    import graft.functions.AggregateFunctions.top_k_by_count
+    val ids = (0L until 500L).toDF("id")
+      .withColumn("h",
+        conv(substring(md5($"id".cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long"))
+    def sample(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+      df.agg(top_k_by_count(struct((-$"h").as("cnt"), $"id".as("key")), k).as("s"))
+        .select(explode($"s")).select($"col.key").as[Long].collect().toSeq
+    val whole10 = sample(ids, 10)
+    // mergeable: bottom-10 of the union == bottom-10 of the two shard
+    // bottom-10s (the KMV identity the scaladoc claims)
+    val shardA = sample(ids.filter($"id" % 2 === 0), 10)
+    val shardB = sample(ids.filter($"id" % 2 =!= 0), 10)
+    val merged = sample(ids.filter($"id".isin(shardA ++ shardB: _*)), 10)
+    assert(merged == whole10, s"merge of shard samples diverged: $merged vs $whole10")
+    // prefix-stable: the bottom-5 is the first half of the bottom-10
+    assert(sample(ids, 5) == whole10.take(5))
+  }
 }
