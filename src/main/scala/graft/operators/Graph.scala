@@ -153,4 +153,51 @@ object Graph {
       .union(e.select(col("u").as("id"), col("u").as("comp")))
       .distinct()
   }
+
+  /** Weighted PageRank in FIXED-POINT integer arithmetic — the graph
+    * centrality companion to [[connectedComponents]]. Ranks are longs at
+    * `scale` (default 1e9 = 1.0); every step is integer multiply and FLOOR
+    * division, so the result is a pure function of the graph with no
+    * floating-point accumulation order to diverge across engines, partition
+    * counts, or reruns — the same determinism contract as the decimal-sum
+    * aggregates, extended to an ITERATIVE computation.
+    *
+    * Per iteration (damping d = dampNum/100):
+    *   pr'(v) = (100−dampNum)·scale div 100
+    *          + dampNum · Σ_{(u,v,w)} (pr(u)·w div wout(u)) div 100
+    * Floor division loses the sub-unit remainder (and dangling-node mass),
+    * so total mass decays slightly instead of being redistributed — a
+    * documented, deterministic bias of ≤ outdegree ulps per node per round,
+    * identical on any engine that floors positive integer division.
+    *
+    * Scale shape: this is the ENTITY-graph centrality pattern — the edge
+    * list is produced by a fact-scale aggregation (100 TB of facts →
+    * |V|² max edge weights), and iterations run on the aggregated edge
+    * list only. Each round is one (src-keyed join + dst-keyed aggregate)
+    * over edges — never over facts — with per-round `localCheckpoint`
+    * keeping lineage O(1) exactly as the components loop does. Overflow
+    * headroom: pr ≤ |V|·scale and pr·w must stay under 2^63 — callers
+    * with fact-count weights beyond ~10^9 should pre-divide weights by a
+    * constant (rank is invariant to uniform weight scaling up to floor
+    * residue; the spec pins this insensitivity at small scale). */
+  def pagerankInt(edges: DataFrame, nodes: DataFrame, iters: Int,
+      scale: Long = 1000000000L, dampNum: Long = 85L): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
+    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = edges.join(wout, "src")
+      .select(col("src"), col("dst"), col("w"), col("wout"))
+      .localCheckpoint(true)
+    val base = (100L - dampNum) * scale / 100L
+    var ranks = nodes.select(col("id"), lit(scale).as("pr")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst"), expr("(pr * w) div wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          expr(s"$base + ($dampNum * coalesce(sc, 0L)) div 100").as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

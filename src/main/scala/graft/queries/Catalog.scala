@@ -573,6 +573,61 @@ object Catalog {
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // entity-graph PageRank: fact-scale edge aggregation, then 5 rounds of
+    // fixed-point integer rank propagation (scale 1e9, damping 85/100,
+    // floor division) — integer-exact, oracle replays every round
+    QuerySpec("x11_pagerank", RelationalQueries.x11Pagerank,
+      Some {
+        val base = 150000000L // (100-85) * 1e9 / 100
+        val head =
+          """edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+            |  FROM lineitem l
+            |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |  JOIN customer c ON o.o_custkey = c.c_custkey
+            |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            |  GROUP BY 1, 2),
+            |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+            |e AS (SELECT edges.src, edges.dst, edges.w, outw.wout
+            |  FROM edges JOIN outw ON edges.src = outw.src),
+            |nodes AS (SELECT n_nationkey AS id FROM nation),
+            |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
+        val rounds = (1 to 5).map { i =>
+          s"""r$i AS (SELECT nodes.id,
+             |  CAST($base + (85 * coalesce(c.sc, 0)) // 100 AS BIGINT) AS pr
+             |  FROM nodes LEFT JOIN (
+             |    SELECT e.dst, CAST(sum((r.pr * e.w) // e.wout) AS BIGINT) AS sc
+             |    FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst) c
+             |  ON nodes.id = c.dst)""".stripMargin
+        }
+        (s"WITH ${(head +: rounds).mkString(",\n")}\n" +
+          """SELECT n.n_name, r5.pr FROM r5 JOIN nation n ON r5.id = n.n_nationkey
+            |ORDER BY r5.pr DESC, n.n_name""".stripMargin)
+      }),
+
+    // per-group OLS trend: exact-integer sufficient statistics (day index
+    // x from fixed epoch-day 19723, cents y), closed-form doubles derived
+    // with identical IEEE expression shapes — hash-equal, no tolerance
+    QuerySpec("x10_group_regression", RelationalQueries.x10GroupRegression,
+      Some("""WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) - 19723 AS x,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS syc,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*yc) AS BIGINT) AS sxy,
+        |    CAST(sum(yc*yc) AS BIGINT) AS syy
+        |  FROM e GROUP BY event_type),
+        |t AS (SELECT *, n*sxy - sx*syc AS num, n*sxx - sx*sx AS denx,
+        |    n*syy - syc*syc AS deny FROM s),
+        |u AS (SELECT *, CASE WHEN denx <> 0
+        |    THEN CAST(num AS DOUBLE)/CAST(denx AS DOUBLE)/100.0 END AS slope FROM t)
+        |SELECT event_type, n, sx AS sum_x, CAST(syc AS DOUBLE)/100.0 AS sum_y,
+        |  slope,
+        |  (CAST(syc AS DOUBLE)/100.0 - slope*CAST(sx AS DOUBLE))/CAST(n AS DOUBLE) AS intercept,
+        |  CASE WHEN denx <> 0 AND deny <> 0
+        |    THEN (CAST(num AS DOUBLE)*CAST(num AS DOUBLE))/(CAST(denx AS DOUBLE)*CAST(deny AS DOUBLE)) END AS r2
+        |FROM u ORDER BY event_type""".stripMargin)),
+
     // cohort retention: first-event-day cohorts, distinct actives per week
     // offset, ratio vs cohort size — all integer day/week math
     QuerySpec("x9_retention", RelationalQueries.x9Retention,
@@ -979,6 +1034,30 @@ object Catalog {
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
         |  FROM documents) t
         |GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 20""".stripMargin)),
+
+    // positional phrase search: top-3 corpus bigrams (scan-stage
+    // transform) retrieved through a positional inverted index — postings
+    // semi-joined by query terms on BOTH phrase positions before the
+    // (doc, pos+1) adjacency join; index-derived n_occ must equal the
+    // scan-stage count (occ_consistent pinned TRUE by the hash)
+    QuerySpec("t23_phrase_search", TextQueries.t23PhraseSearch,
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i+1]}), recursive := true)
+        |  FROM tk WHERE len(t) >= 2),
+        |top AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
+        |  ORDER BY cnt DESC, w1, w2 LIMIT 3),
+        |p AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |    i -> {'pos': i, 'term': t[i]}), recursive := true) FROM tk),
+        |hit AS (SELECT top.w1, top.w2, top.cnt, p1.doc_id
+        |  FROM top
+        |  JOIN p p1 ON p1.term = top.w1
+        |  JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        |    AND p2.term = top.w2)
+        |SELECT w1, w2, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |  min(doc_id) AS first_doc, count(*) = any_value(cnt) AS occ_consistent
+        |FROM hit GROUP BY w1, w2
+        |ORDER BY n_occ DESC, w1, w2""".stripMargin)),
 
     // BPE merge-pair counting: within each whitespace token every adjacent
     // character pair is one occurrence (2-char substrings — identical

@@ -510,6 +510,88 @@ object RelationalQueries {
       .orderBy(col("cohort_day"), col("wk"))
   }
 
+  /** Per-group OLS trend line (x10) — the regression staple of an
+    * analytics engine, computed the DISTRIBUTED way: one mergeable
+    * aggregate pass collecting the five classical sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²), then slope/intercept/r² derived on the
+    * 5-row result. The statistics are EXACT integers — x is the day
+    * index from a fixed reference day (2024-01-01 = epoch day 19723,
+    * keeping x² sums far from overflow at any corpus size; an epoch-µs x
+    * would overflow Σx² immediately), y is exact cents via the
+    * decimal(18,2) cast (events.value is 2-dp by contract) — so partial
+    * aggregation order cannot perturb them, and the closed-form doubles
+    * are computed from identical exact inputs with identically-shaped
+    * IEEE expressions on both engines: the gate is hash-equal, no
+    * tolerance. At 100 TB this is ONE map-side-combining aggregate,
+    * shuffling six longs per (group, task) — the moment-sketch property
+    * that makes sufficient-statistic models (OLS, variance, covariance,
+    * Welford-family) trivially scalable where row-wise solvers are not. */
+  def x10GroupRegression(s: SparkSession, d: String): DataFrame =
+    regressionFrom(Tables.events(s, d).select(
+      col("event_type"),
+      (expr("(ts div 1000) div 86400000000") - lit(19723L)).as("x"),
+      (dec(col("value")) * lit(100)).cast("long").as("yc")))
+
+  /** [[x10GroupRegression]]'s statistics + closed form over a
+    * caller-supplied (event_type, x: long, yc: long cents) frame —
+    * shared with the spec, which feeds a perfect line and pins EXACT
+    * slope/intercept/r² recovery (the sufficient statistics are integer,
+    * so a representable-slope line survives the double closed form
+    * bit-exactly). */
+  def regressionFrom(e: DataFrame): DataFrame = {
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yc")).as("syc"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("yc")).as("sxy"),
+        sum(col("yc") * col("yc")).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("syc"))
+      .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n") * col("syy") - col("syc") * col("syc"))
+      .withColumn("slope", when(col("denx") =!= 0,
+        col("num").cast("double") / col("denx").cast("double") / lit(100.0)))
+      .select(col("event_type"), col("n"), col("sx").as("sum_x"),
+        (col("syc").cast("double") / lit(100.0)).as("sum_y"),
+        col("slope"),
+        ((col("syc").cast("double") / lit(100.0)
+          - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"),
+        when(col("denx") =!= 0 && col("deny") =!= 0,
+          (col("num").cast("double") * col("num").cast("double"))
+            / (col("denx").cast("double") * col("deny").cast("double"))).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Entity-graph PageRank (x11) — graph centrality in the shape it
+    * actually takes at 100 TB: the heavy pass is a FACT-scale aggregation
+    * (every lineitem, via orders→customer and supplier, becomes one unit
+    * of customer-nation → supplier-nation trade flow; shuffles once on the
+    * join keys, partial-aggregates map-side into ≤ |V|² weighted edges),
+    * and [[graft.operators.Graph.pagerankInt]]'s iterations then run on
+    * the aggregated ENTITY edge list only — never re-touching facts. Ranks
+    * are fixed-point longs (scale 1e9, damping 85/100, 5 rounds, floor
+    * division), so the whole iterative computation is integer-exact and
+    * the oracle replays it CTE-by-CTE to the same bits: hash-equal, no
+    * tolerance — the same determinism discipline as the Lloyd chains,
+    * extended to the graph family beyond d6's connected components. */
+  def x11Pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = Tables.nation(s, d).select(col("n_nationkey").as("id"))
+    graft.operators.Graph.pagerankInt(edges, nodes, iters = 5)
+      .join(Tables.nation(s, d), col("id") === col("n_nationkey"))
+      .select(col("n_name"), col("pr"))
+      .orderBy(col("pr").desc, col("n_name"))
+  }
+
   /** HLL sketch MERGEABILITY as a gate — the property that makes
     * distinct-counting shardable at 100 TB, stated HONESTLY: a sharded
     * computation (per-shard DataSketches HLL sketches, unioned) must

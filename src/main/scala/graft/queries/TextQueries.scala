@@ -654,4 +654,50 @@ object TextQueries {
         (abs(element_at(col("__a"), 2) - element_at(col("__q"), 2)) <=
           lit(0.05) * element_at(col("__q"), 2)).as("ok_p90"))
       .orderBy(col("lang"))
+
+  /** Positional phrase search (t23) — the retrieval operation BM25 (t18)
+    * cannot express: "these words, ADJACENT, in this order". Two layers,
+    * each in its scale-correct plan shape:
+    *
+    * 1. Query selection: corpus bigram statistics from ONE scan-stage
+    *    `transform` over each doc's token array (no self-join — the
+    *    word-level sibling of t20's char-pair counting), top-3 by count
+    *    with full tie-breaks. This stands in for a user query list.
+    * 2. Retrieval: a positional INVERTED INDEX — postings (term, doc,
+    *    pos) — probed only at the query terms: BOTH posting streams are
+    *    semi-joined against the broadcast phrase table (first-word and
+    *    second-word prune respectively) BEFORE the (doc, pos+1)
+    *    adjacency equi-join. At 100 TB the postings table is term-keyed
+    *    (bucketed), so each phrase touches exactly its two terms'
+    *    posting lists — the join never sees the corpus, and nothing is
+    *    ever positions×positions.
+    *
+    * n_occ re-derived through the index must equal the scan-stage count
+    * (same adjacency), so the gate cross-checks the two formulations
+    * against each other as well as against the oracle. */
+  def t23PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
+    val top = docs.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(3)
+    val p = docs.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
+    val firsts = p.join(broadcast(top), p("term") === top("w1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"), col("cnt"))
+    val seconds = p.join(broadcast(top.select(col("w2"))),
+        p("term") === col("w2"), "left_semi")
+      .select(col("doc_id").as("doc2"), col("pos").as("pos2"), col("term"))
+    firsts.join(seconds,
+        col("doc2") === col("doc_id") &&
+          col("pos2") === col("pos") + 1 && col("term") === col("w2"))
+      .groupBy(col("w1"), col("w2"), col("cnt"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .select(col("w1"), col("w2"), col("n_docs"), col("n_occ"), col("first_doc"),
+        (col("n_occ") === col("cnt")).as("occ_consistent"))
+      .orderBy(col("n_occ").desc, col("w1"), col("w2"))
+  }
 }

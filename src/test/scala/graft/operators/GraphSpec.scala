@@ -69,4 +69,33 @@ class GraphSpec extends SparkSpec {
     assert(g2.filter(_._1 < 10).values.toSet == Set(0L))
     assert(g2.filter(_._1 >= 10).values.toSet == Set(10L))
   }
+
+  private def pr(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
+      iters: Int): Map[Long, Long] =
+    Graph.pagerankInt(edges.toDF("src", "dst", "w"),
+        nodes.toDF("id"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("pagerankInt: hand-computed fixed-point values on a 3-node graph") {
+    // A=1→B=2, B→A, C=3→A; nothing points to C
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val r1 = pr(edges, Seq(1L, 2L, 3L), iters = 1)
+    // prA = 0.15e9 + 85*(1e9 + 1e9) div 100; prB keeps exactly 1e9;
+    // prC = teleport only
+    assert(r1 == Map(1L -> 1850000000L, 2L -> 1000000000L, 3L -> 150000000L))
+    // a symmetric 2-cycle is the fixpoint 1e9 at every iteration count
+    val cyc = Seq((1L, 2L, 3L), (2L, 1L, 3L))
+    for (k <- Seq(1, 4))
+      assert(pr(cyc, Seq(1L, 2L), k) == Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("pagerankInt is invariant to uniform weight scaling (floor((7a)/(7b)) = floor(a/b))") {
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 5L), (2L, 1L, 1L), (3L, 1L, 4L), (3L, 2L, 1L))
+    val nodes = Seq(1L, 2L, 3L)
+    val base = pr(edges, nodes, iters = 5)
+    val scaled = pr(edges.map { case (s, d, w) => (s, d, w * 7L) }, nodes, iters = 5)
+    assert(base == scaled)
+    // mass decays (floor residue + no dangling redistribution), never grows
+    assert(base.values.sum <= 3L * 1000000000L)
+  }
 }
