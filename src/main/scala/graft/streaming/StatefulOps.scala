@@ -36,6 +36,14 @@ final case class FunnelState(firstView: Long, firstClick: Long)
 /** One retention input event (x9's streaming form). */
 final case class RetentionEvent(userId: Long, tsUs: Long)
 
+/** One regression observation (x10's streaming form): integer day-index x
+  * and exact cents y, per group. */
+final case class RegObs(group: String, x: Long, yc: Long)
+
+/** Running sufficient statistics for per-group OLS — x10's six longs. */
+final case class RegState(
+    n: Long, sx: Long, syc: Long, sxx: Long, sxy: Long, syy: Long)
+
 /** Per-user retention state: cohort day (−1 = unseen) + bitmask of the
   * active week offsets 0–3 relative to it. */
 final case class RetentionState(firstDay: Long, weekMask: Long)
@@ -198,6 +206,35 @@ object StatefulOps {
           }
           state.update(st)
           (uid, st.firstDay, st.weekMask)
+      }
+  }
+
+  /** Per-group running OLS sufficient statistics — x10's streaming form.
+    * Unlike [[funnel]]/[[retention]], this op needs NO order contract at
+    * all: the six sums are commutative and associative, so any batch
+    * split, any within-batch order, and any partition assignment land on
+    * the identical state — the sufficient-statistic formulation is what
+    * makes regression incrementalizable for free (Welford-family updates
+    * exist to tame FLOAT error; with exact integer sums they are
+    * unnecessary). State is six longs per group, bounded forever; emits
+    * each touched group's statistics per batch, from which a consumer
+    * derives slope/intercept/r² exactly as
+    * [[graft.queries.RelationalQueries.regressionFrom]]'s closed form
+    * does — the spec pins incremental ≡ batch on every fed prefix. */
+  def regressionStats(ds: Dataset[RegObs]): Dataset[(String, RegState)] = {
+    implicit val outEnc: Encoder[(String, RegState)] =
+      Encoders.tuple(Encoders.STRING, Encoders.product[RegState])
+    implicit val stateEnc: Encoder[RegState] = Encoders.product[RegState]
+    ds.groupByKey(_.group)(Encoders.STRING)
+      .mapGroupsWithState[RegState, (String, RegState)](GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[RegObs], state: GroupState[RegState]) =>
+          var st = state.getOption.getOrElse(RegState(0L, 0L, 0L, 0L, 0L, 0L))
+          rows.foreach { o =>
+            st = RegState(st.n + 1, st.sx + o.x, st.syc + o.yc,
+              st.sxx + o.x * o.x, st.sxy + o.x * o.yc, st.syy + o.yc * o.yc)
+          }
+          state.update(st)
+          (g, st)
       }
   }
 
