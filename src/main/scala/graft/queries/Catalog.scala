@@ -606,6 +606,21 @@ object Catalog {
         |  floor(n_rect * 1.0 / n_zrange * 10000 + 0.5) / 10000 AS efficiency
         |FROM agg ORDER BY rect""".stripMargin)),
 
+    // Markov transition matrix: per-user event paths ordered by
+    // (ts, event_id), adjacent-pair transition counts, row-normalized
+    // P(dst|src) — tie-break makes same-timestamp paths deterministic
+    QuerySpec("x13_markov_transitions", RelationalQueries.x13MarkovTransitions,
+      Some("""WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |tr AS (SELECT event_type AS src, nxt AS dst, count(*) AS n_trans
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, CAST(sum(n_trans) AS BIGINT) AS n_src FROM tr GROUP BY src)
+        |SELECT tr.src, tr.dst, tr.n_trans, tot.n_src,
+        |  floor(tr.n_trans * 1.0 / tot.n_src * 10000 + 0.5) / 10000 AS prob
+        |FROM tr JOIN tot ON tr.src = tot.src
+        |ORDER BY tr.src, tr.dst""".stripMargin)),
+
     // entity-graph PageRank: fact-scale edge aggregation, then 5 rounds of
     // fixed-point integer rank propagation (scale 1e9, damping 85/100,
     // floor division) — integer-exact, oracle replays every round
@@ -924,6 +939,43 @@ object Catalog {
         |SELECT id AS doc_id, cluster,
         |  count(*) OVER (PARTITION BY cluster) AS cluster_size
         |FROM comp ORDER BY cluster, doc_id""".stripMargin)),
+
+    // dedup survivorship: per d6 cluster, keep the highest-quality member
+    // (t3's quality blend, ties by lowest doc_id) and account for the
+    // dropped token mass — the oracle replays the full chain: minhash
+    // bands -> verified pairs -> components -> quality argmax
+    QuerySpec("d10_survivorship", TextQueries.d10Survivorship,
+      Some(s"""WITH RECURSIVE $minhashCtes,
+        |dup AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT id1, id2,
+        |      len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |        (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh))::DOUBLE) AS j
+        |    FROM cands JOIN shx sa ON id1 = sa.doc_id JOIN shx sb ON id2 = sb.doc_id) t
+        |  WHERE j >= 0.8),
+        |e AS (SELECT id1, id2 FROM dup UNION SELECT id2 AS id1, id1 AS id2 FROM dup),
+        |walk AS (
+        |  SELECT id1 AS id, id1 AS reach FROM e
+        |  UNION
+        |  SELECT w.id, e.id2 AS reach FROM walk w JOIN e ON w.reach = e.id1),
+        |comp AS (SELECT id, min(reach) AS cluster FROM walk GROUP BY id),
+        |qt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  floor((least(len(t)::DOUBLE / 100.0, 1.0)
+        |    + len(list_distinct(t))::DOUBLE / len(t)::DOUBLE
+        |    + (len(t)::DOUBLE - len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE) / len(t)::DOUBLE
+        |    ) / 3.0 * 10000 + 0.5) / 10000 AS quality
+        |  FROM qt),
+        |m AS (SELECT comp.cluster, comp.id AS doc_id, q.n_tokens, q.quality,
+        |    row_number() OVER (PARTITION BY comp.cluster
+        |      ORDER BY q.quality DESC, comp.id ASC) AS rk
+        |  FROM comp JOIN q ON comp.id = q.doc_id)
+        |SELECT cluster,
+        |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+        |  max(CASE WHEN rk = 1 THEN quality END) AS survivor_quality,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped
+        |FROM m GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
     // decontamination: every 25th doc is the "benchmark"; a train doc is
     // contaminated when it shares >= 3 distinct trigram shingles with any

@@ -646,6 +646,41 @@ object RelationalQueries {
       .orderBy(col("rect"))
   }
 
+  /** Markov transition matrix (x13) — the user-journey model behind
+    * next-event prediction and anomaly scoring: per user, events ordered
+    * by (ts, event_id) form a path; every adjacent (state → next-state)
+    * pair is one transition, and the row-normalized counts are the
+    * first-order Markov estimate P(dst | src). The sequencing step is
+    * ONE user-keyed window (the unavoidable shuffle — per-user order is
+    * the operator's semantics); from there everything collapses:
+    * transitions aggregate map-side to ≤ |types|² rows, and the per-src
+    * totals join runs on that tiny frame, never on events. The (ts,
+    * event_id) tie-break makes same-timestamp paths engine-deterministic,
+    * so the gate is hash-exact with probabilities through the repo's
+    * round4 contract. */
+  def x13MarkovTransitions(s: SparkSession, d: String): DataFrame =
+    markovFrom(Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us")))
+
+  /** [[x13MarkovTransitions]]'s core over a caller-supplied (user_id,
+    * event_id, event_type, ts_us) frame — shared with the hand-computed
+    * path spec. */
+  def markovFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val tr = ev
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("src"), col("__next").as("dst"))
+      .agg(count(lit(1)).as("n_trans"))
+    val tot = tr.groupBy(col("src")).agg(sum(col("n_trans")).as("n_src"))
+    tr.join(tot, Seq("src"))
+      .select(col("src"), col("dst"), col("n_trans"), col("n_src"),
+        round4(col("n_trans").cast("double") / col("n_src")).as("prob"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** HLL sketch MERGEABILITY as a gate — the property that makes
     * distinct-counting shardable at 100 TB, stated HONESTLY: a sharded
     * computation (per-shard DataSketches HLL sketches, unioned) must

@@ -125,6 +125,49 @@ object TextQueries {
       .orderBy(col("cluster"), col("doc_id"))
   }
 
+  /** Dedup survivorship (d10) — the decision d6's clusters exist to
+    * enable: per near-dup cluster, KEEP the highest-quality member
+    * (t3's quality blend; ties broken by lowest doc_id, so the choice is
+    * engine- and rerun-deterministic) and account for what the dedup
+    * drops (member count, non-survivor token mass). Quality is computed
+    * ONLY for cluster members — the members⋈documents join keys on
+    * doc_id, so the scored side is bounded by duplicate mass, not corpus
+    * size; the ranking window partitions by cluster (each partition is
+    * one dup group, never the corpus). Members are d6's canonical docs
+    * (exact dups collapsed pre-banding), so survivorship here composes
+    * d1 → d2/d3 → d6 → d10 into the full dedup pipeline: exact collapse,
+    * near-dup detection, clustering, canonical selection. */
+  def d10Survivorship(s: SparkSession, d: String): DataFrame =
+    survivorshipFrom(
+      d6DupClusters(s, d).select(col("doc_id"), col("cluster")),
+      Tables.documents(s, d))
+
+  /** [[d10Survivorship]]'s core over caller-supplied (doc_id, cluster)
+    * members and a documents frame — shared with the tie-break spec. */
+  def survivorshipFrom(members: DataFrame, docs: DataFrame): DataFrame = {
+    val q = docs.join(members, Seq("doc_id"))
+      .select(col("cluster"), col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("cluster"), col("doc_id"),
+        size(col("__toks")).as("__n"),
+        size(array_distinct(col("__toks"))).as("__d"),
+        stopwordCount(col("__toks")).as("__sw"))
+      .select(col("cluster"), col("doc_id"),
+        col("__n").cast("long").as("n_tokens"),
+        qualityScore(col("__n"), col("__d"), col("__sw")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    q.withColumn("__rk", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(
+        max(when(col("__rk") === 1, col("doc_id"))).as("survivor_id"),
+        max(when(col("__rk") === 1, col("quality"))).as("survivor_quality"),
+        count(lit(1)).as("n_members"),
+        sum(when(col("__rk") > 1, col("n_tokens")).otherwise(0L))
+          .as("tokens_dropped"))
+      .orderBy(col("cluster"))
+  }
+
   /** Cross-corpus decontamination over a deterministic benchmark split:
     * every 25th doc plays the eval set, the rest the training corpus;
     * flag train docs sharing ≥ 3 distinct trigram shingles with any eval
