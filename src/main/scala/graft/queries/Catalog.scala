@@ -621,6 +621,35 @@ object Catalog {
         |FROM tr JOIN tot ON tr.src = tot.src
         |ORDER BY tr.src, tr.dst""".stripMargin)),
 
+    // triangle census: co-purchase edges (same order, >= 2 co-occurrences),
+    // exact triangles under degree-ordered orientation, global clustering
+    // coefficient — the oracle replays orientation and wedge join verbatim
+    QuerySpec("x14_triangles", RelationalQueries.x14Triangles,
+      Some("""WITH e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dg AS (SELECT n, count(*) AS deg FROM
+        |  (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) GROUP BY n),
+        |e AS (SELECT u, v, du.deg AS du, dv.deg AS dv
+        |  FROM e0 JOIN dg du ON e0.u = du.n JOIN dg dv ON e0.v = dv.n),
+        |o AS (SELECT
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s,
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t,
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dt
+        |  FROM e),
+        |w AS (SELECT o1.t AS t1, o2.t AS t2 FROM o o1 JOIN o o2
+        |  ON o1.s = o2.s AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))),
+        |tri AS (SELECT count(*) AS n_triangles FROM w
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.t1 AND o.t = w.t2))
+        |SELECT (SELECT count(*) FROM dg) AS n_nodes,
+        |  (SELECT count(*) FROM e0) AS n_edges,
+        |  (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM dg) AS n_wedges,
+        |  tri.n_triangles,
+        |  floor(3.0 * tri.n_triangles /
+        |    (SELECT sum(deg * (deg - 1) // 2) FROM dg) * 10000 + 0.5) / 10000 AS gcc
+        |FROM tri""".stripMargin)),
+
     // entity-graph PageRank: fact-scale edge aggregation, then 5 rounds of
     // fixed-point integer rank propagation (scale 1e9, damping 85/100,
     // floor division) — integer-exact, oracle replays every round

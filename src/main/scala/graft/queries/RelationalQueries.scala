@@ -681,6 +681,30 @@ object RelationalQueries {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Triangle census of the co-purchase graph (x14) — graph-structure
+    * analytics over a FACT-derived graph: parts are linked when the same
+    * order contains both at least twice corpus-wide (the ≥ 2 co-occurrence
+    * threshold keeps signal edges and drops the incidental-basket noise
+    * that would densify the graph quadratically), then
+    * [[graft.operators.Graph.triangleStats]] counts exact triangles under
+    * degree-ordered orientation. The edge build is keyed on the basket id
+    * — per-basket fan-out is the (small, bounded) basket size, never the
+    * corpus — and collapses to the thresholded edge list before any graph
+    * work; the triangle join's per-key fan-out is then bounded by √(2m)
+    * out-degrees. Every output number is an exact integer except the
+    * clustering coefficient, which goes through round4. */
+  def x14Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val edges = li.select(col("ok"), col("l_partkey").as("u"))
+      .join(li.select(col("ok"), col("l_partkey").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+    graft.operators.Graph.triangleStats(edges)
+  }
+
   /** HLL sketch MERGEABILITY as a gate — the property that makes
     * distinct-counting shardable at 100 TB, stated HONESTLY: a sharded
     * computation (per-shard DataSketches HLL sketches, unioned) must

@@ -48,6 +48,13 @@ final case class RegState(
   * active week offsets 0–3 relative to it. */
 final case class RetentionState(firstDay: Long, weekMask: Long)
 
+/** One Markov input event (x13's streaming form). */
+final case class MarkovEvent(userId: Long, eventId: Long, eventType: String, tsUs: Long)
+
+/** Per-user Markov chain tail: the last-seen event's (tsUs, eventId,
+  * type); tsUs −1 = no event seen yet. */
+final case class MarkovState(tsUs: Long, eventId: Long, lastType: String)
+
 /** Stateful streaming operators (Structured Streaming,
   * `mapGroupsWithState`/`flatMapGroupsWithState`) — the three places the
   * reference's semantics genuinely need running state rather than a
@@ -235,6 +242,41 @@ object StatefulOps {
           }
           state.update(st)
           (g, st)
+      }
+  }
+
+  /** Per-user Markov transition extraction — x13's streaming form: each
+    * user's event stream chains through ONE remembered tail event (the
+    * state is three fields per user, bounded forever), and every arriving
+    * event emits exactly one (src, dst) transition row against that tail.
+    * Within a batch the handler sorts its slice by (tsUs, eventId) — group
+    * iterators are unordered — and across batches the per-key order
+    * contract applies as in [[funnel]]/[[retention]]: per-user time must
+    * not regress (equal-timestamp events split across batches chain in
+    * batch order, which the (ts, event_id) tie-break makes consistent with
+    * x13's batch window ONLY when the split respects event_id order — the
+    * same cross-batch caveat funnel documents, held at the feed). Each
+    * transition is emitted exactly once (Append semantics); a downstream
+    * count per (src, dst) — any counting sink, or [[runningCount]] keyed
+    * on src:dst — reproduces x13's n_trans incrementally, which is what
+    * `StreamingMarkovSpec` pins against [[graft.queries.RelationalQueries
+    * .markovFrom]] on every fed prefix. */
+  def markovTransitions(ds: Dataset[MarkovEvent]): Dataset[(String, String)] = {
+    implicit val outEnc: Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val stateEnc: Encoder[MarkovState] = Encoders.product[MarkovState]
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[MarkovState, (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[MarkovEvent], state: GroupState[MarkovState]) =>
+          var st = state.getOption.getOrElse(MarkovState(-1L, -1L, ""))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          rows.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            if (st.tsUs >= 0L) out += ((st.lastType, e.eventType))
+            st = MarkovState(e.tsUs, e.eventId, e.eventType)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 
