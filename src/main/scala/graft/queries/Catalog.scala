@@ -606,6 +606,44 @@ object Catalog {
         |  floor(n_rect * 1.0 / n_zrange * 10000 + 0.5) / 10000 AS efficiency
         |FROM agg ORDER BY rect""".stripMargin)),
 
+    // zone-map pruning: the same point cloud laid out by z-order vs a
+    // single-column sort into 64 "files" (ntile), per-file min/max zone
+    // maps, exact files-touched / rows-scanned under the standard overlap
+    // test + the soundness boolean (no match in a pruned file)
+    QuerySpec("x15_zonemap_prune", RelationalQueries.x15ZonemapPrune,
+      Some("""WITH pts AS (SELECT
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 64 AS px,
+        |    ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT % 64 AS sx
+        |  FROM lineitem),
+        |pz AS (SELECT px, sx, CAST(list_sum(list_transform(generate_series(0, 15),
+        |    i -> (((px >> i) & 1) << (2*i)) + (((sx >> i) & 1) << (2*i+1)))) AS BIGINT) AS z
+        |  FROM pts),
+        |bk AS (SELECT px, sx,
+        |    ntile(64) OVER (ORDER BY z) AS bz,
+        |    ntile(64) OVER (ORDER BY px, sx) AS bx
+        |  FROM pz),
+        |lay AS (SELECT 'zorder' AS layout, bz AS bucket, px, sx FROM bk
+        |  UNION ALL SELECT 'single_col', bx, px, sx FROM bk),
+        |rects AS (
+        |  SELECT 'aligned_quadrant' AS rect, 16::BIGINT AS xlo, 31::BIGINT AS xhi,
+        |    16::BIGINT AS ylo, 31::BIGINT AS yhi
+        |  UNION ALL SELECT 'unaligned_rect', 5::BIGINT, 40::BIGINT, 9::BIGINT, 50::BIGINT),
+        |pb AS (SELECT layout, rect, bucket, xlo, xhi, ylo, yhi,
+        |    min(px) AS min_px, max(px) AS max_px,
+        |    min(sx) AS min_sx, max(sx) AS max_sx,
+        |    count(*) AS n_rows,
+        |    sum(CASE WHEN px BETWEEN xlo AND xhi AND sx BETWEEN ylo AND yhi
+        |      THEN 1 ELSE 0 END) AS n_match
+        |  FROM lay CROSS JOIN rects GROUP BY 1, 2, 3, 4, 5, 6, 7),
+        |t AS (SELECT *, (max_px >= xlo AND min_px <= xhi AND
+        |    max_sx >= ylo AND min_sx <= yhi) AS touched FROM pb)
+        |SELECT layout, rect, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN touched THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+        |  CAST(sum(CASE WHEN touched THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(n_match) AS BIGINT) AS n_match,
+        |  sum(CASE WHEN NOT touched THEN n_match ELSE 0 END) = 0 AS sound_ok
+        |FROM t GROUP BY layout, rect ORDER BY layout, rect""".stripMargin)),
+
     // Markov transition matrix: per-user event paths ordered by
     // (ts, event_id), adjacent-pair transition counts, row-normalized
     // P(dst|src) — tie-break makes same-timestamp paths deterministic

@@ -616,15 +616,25 @@ object RelationalQueries {
     * SQL cross-checks the mask-spread codegen implementation. One scan,
     * a 2-row broadcast of rectangle specs, conditional-sum aggregates —
     * nothing above cardinality 2 leaves the mappers. */
+  /** The x12/x15 point cloud: 32-bit md5-prefix hash of a key, mod 64 —
+    * uniform at every scale factor, replayed bit-for-bit by the oracle. */
+  private def hashCoord64(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 64
+
+  /** lineitem as a 64×64 hashed point cloud with its Morton key. */
+  private def mortonPoints(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MortonInterleave.morton_interleave
+    Tables.lineitem(s, d).select(
+        hashCoord64(col("l_partkey")).as("px"),
+        hashCoord64(col("l_suppkey")).as("sx"))
+      .withColumn("z", morton_interleave(col("px"), col("sx")))
+  }
+
   def x12ZorderLayout(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.MortonInterleave.morton_interleave
-    def h64(c: Column): Column =
-      conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("long") % 64
-    val pts = Tables.lineitem(s, d).select(
-        h64(col("l_partkey")).as("px"), h64(col("l_suppkey")).as("sx"))
-      .withColumn("z", morton_interleave(col("px"), col("sx")))
+    val pts = mortonPoints(s, d)
     val rects = Seq(
         ("aligned_quadrant", 16L, 31L, 16L, 31L, true),
         ("unaligned_rect", 5L, 40L, 9L, 50L, false))
@@ -679,6 +689,66 @@ object RelationalQueries {
       .select(col("src"), col("dst"), col("n_trans"), col("n_src"),
         round4(col("n_trans").cast("double") / col("n_src")).as("prob"))
       .orderBy(col("src"), col("dst"))
+  }
+
+  /** Zone-map pruning (x15) — x12's layout claim made MEASURABLE: lay the
+    * same point cloud out two ways (64 "files" each — ntile over the
+    * Morton key vs over the single-column (px, sx) sort), keep each
+    * file's per-column min/max zone maps, and count what a 2-D range
+    * predicate must scan under the standard overlap test. The z-order
+    * layout keeps BOTH columns' zone maps tight (each z-contiguous file
+    * is a small quad of the plane), so both predicate columns prune; the
+    * single-column sort gives one tight column and one full-range column,
+    * so only the leading column ever prunes. The measurement is HONEST,
+    * like e19's geometry dial: on the selective aligned quadrant (6 % of
+    * the plane) z-order touches 8/64 files to single-col's 18; on the
+    * 60 %-coverage unaligned rect z-order touches 42 to single-col's 38 —
+    * a low-selectivity predicate gets little from any layout, and the
+    * leading-column sort's one tight column can even edge ahead. Both
+    * rows are gated exactly; the numbers ARE the finding. The gate also
+    * pins, per (layout, rect): rows scanned, matching rows, and the
+    * soundness boolean — NO matching row lives in a pruned file (the
+    * property that makes data skipping a correctness-preserving
+    * optimization). ntile's global sort stands in for the write-time
+    * range partitioner: at scale this is `repartitionByRange(N, z)` when
+    * writing parquet, with the zone maps coming free as parquet footer
+    * min/max stats; the read side is then exactly this overlap test,
+    * applied by the scan before any row is read. */
+  def x15ZonemapPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nb = 64
+    val bucketed = mortonPoints(s, d)
+      .withColumn("bz", ntile(nb).over(Window.orderBy(col("z"))))
+      .withColumn("bx", ntile(nb).over(Window.orderBy(col("px"), col("sx"))))
+    val layouts = bucketed
+      .select(lit("zorder").as("layout"), col("bz").as("bucket"),
+        col("px"), col("sx"))
+      .union(bucketed.select(lit("single_col").as("layout"),
+        col("bx").as("bucket"), col("px"), col("sx")))
+    val rects = Seq(
+        ("aligned_quadrant", 16L, 31L, 16L, 31L),
+        ("unaligned_rect", 5L, 40L, 9L, 50L))
+      .toDF("rect", "xlo", "xhi", "ylo", "yhi")
+    val perBucket = layouts.crossJoin(broadcast(rects))
+      .groupBy(col("layout"), col("rect"), col("bucket"),
+        col("xlo"), col("xhi"), col("ylo"), col("yhi"))
+      .agg(min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+        min(col("sx")).as("min_sx"), max(col("sx")).as("max_sx"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("px").between(col("xlo"), col("xhi")) &&
+          col("sx").between(col("ylo"), col("yhi")), 1L).otherwise(0L))
+          .as("n_match"))
+      .withColumn("touched",
+        col("max_px") >= col("xlo") && col("min_px") <= col("xhi") &&
+          col("max_sx") >= col("ylo") && col("min_sx") <= col("yhi"))
+    perBucket.groupBy(col("layout"), col("rect"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("touched"), 1L).otherwise(0L)).as("files_touched"),
+        sum(when(col("touched"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("n_match"),
+        (sum(when(!col("touched"), col("n_match")).otherwise(0L)) === 0L)
+          .as("sound_ok"))
+      .orderBy(col("layout"), col("rect"))
   }
 
   /** Triangle census of the co-purchase graph (x14) — graph-structure
