@@ -45,33 +45,46 @@ object Catalog {
   private val numHashes = 16
   private val rowsPerBand = 4
 
-  /** MinHash signature + LSH band CTEs, mirroring TextOps.minhashCandidates:
-    * one md5 per shingle → 32-bit base hash → k universal-hash derivations
-    * (a_i·h + b_i) mod P, banded with ':'-joined null-propagating concat. */
-  private val minhashCtes: String = {
+  /** Banding + candidate CTEs (`bands$sfx`/`cands$sfx`) for one geometry
+    * over the shared `sigs` signature CTE — [[minhashCtes]]'s tail,
+    * factored so d11 can run two geometries off one signature pass
+    * exactly as the Spark side does. */
+  private def bandCandCtes(rpb: Int, sfx: String): String = {
+    val bandRows = (0 until numHashes / rpb).map { j =>
+      val cat = (0 until rpb).map(r => s"mh${j * rpb + r}::VARCHAR")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $j AS band, md5($cat) AS bk FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""bands$sfx AS (
+       |  $bandRows),
+       |cands$sfx AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands$sfx a JOIN bands$sfx b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Canonical docs → shingles → 16 universal-hash MinHash signatures —
+    * the shared head of every same-corpus LSH chain (one md5 per shingle
+    * → 32-bit base hash → (a_i·h + b_i) mod P per hash slot). */
+  private val sigCtes: String = {
     val p = graft.operators.TextOps.MinhashP
     val sigCols = (0 until numHashes).map { i =>
       val a = graft.operators.TextOps.minhashA(i)
       val b = graft.operators.TextOps.minhashB(i)
       s"list_min(list_transform(hs, h -> (h * ${a} + ${b}) % ${p})) AS mh$i"
     }.mkString(",\n  ")
-    val bandRows = (0 until numHashes / rowsPerBand).map { j =>
-      val cat = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}::VARCHAR")
-        .mkString(" || ':' || ")
-      s"SELECT doc_id, $j AS band, md5($cat) AS bk FROM sigs"
-    }.mkString("\n  UNION ALL ")
     s"""$shingleCte,
        |hsx AS (SELECT doc_id, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM shx),
        |sigs AS (SELECT doc_id,
        |  $sigCols
-       |FROM hsx),
-       |bands AS (
-       |  $bandRows),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+       |FROM hsx)""".stripMargin
   }
+
+  /** MinHash signature + LSH band CTEs, mirroring TextOps.minhashCandidates:
+    * the shared [[sigCtes]] head plus the default 4-rows-per-band
+    * geometry's `bands`/`cands`. */
+  private val minhashCtes: String =
+    s"$sigCtes,\n${bandCandCtes(rowsPerBand, "")}"
 
   /** Parameterized MinHash band chain for CROSS-corpus use (d9): the same
     * shingle → md5 base hash → k universal hashes → ':'-concat band keys
@@ -450,6 +463,20 @@ object Catalog {
     QuerySpec("a6_distinct_users", RelationalQueries.a6DistinctUsers,
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // windowed trending top-k: per hourly window the top-3 event types by
+    // count through the bounded TopKByCount aggregate; oracle ranks with a
+    // row_number window, (cnt desc, type asc) ties
+    QuerySpec("w4_trending_topk", RelationalQueries.w4TrendingTopk,
+      Some("""WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour_bucket, event_type, cnt,
+        |    CAST(row_number() OVER (PARTITION BY hour_bucket
+        |      ORDER BY cnt DESC, event_type) AS INT) AS rank
+        |  FROM c)
+        |SELECT hour_bucket, event_type, cnt, rank FROM r WHERE rank <= 3
+        |ORDER BY hour_bucket, rank""".stripMargin)),
 
     QuerySpec("w1_hourly_rollup", RelationalQueries.w1HourlyRollup,
       Some(s"""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
@@ -1065,6 +1092,40 @@ object Catalog {
     // eval splits), candidates where any band key matches across corpora,
     // exact-Jaccard verify at >= 0.5 — banding replayed by the oracle, so
     // even which pairs the fixed hash family surfaces is gated
+    // LSH band-geometry dial: the same 16-hash signatures banded 4x4 vs
+    // 8x2, candidate volume / verified yield / precision per geometry,
+    // nesting (4x4 subset of 8x2) and recall monotonicity pinned TRUE
+    QuerySpec("d11_lsh_dial", TextQueries.d11LshDial,
+      Some(s"""WITH $sigCtes,
+        |${bandCandCtes(4, "4")},
+        |${bandCandCtes(2, "2")},
+        |ver4 AS (SELECT id1, id2 FROM (
+        |  SELECT id1, id2, len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh))::DOUBLE) AS j
+        |  FROM cands4 JOIN shx sa ON id1 = sa.doc_id JOIN shx sb ON id2 = sb.doc_id) t
+        |  WHERE j >= 0.8),
+        |ver2 AS (SELECT id1, id2 FROM (
+        |  SELECT id1, id2, len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - len(list_intersect(sa.sh, sb.sh))::DOUBLE) AS j
+        |  FROM cands2 JOIN shx sa ON id1 = sa.doc_id JOIN shx sb ON id2 = sb.doc_id) t
+        |  WHERE j >= 0.8),
+        |summary AS (
+        |  SELECT 4::BIGINT AS n_bands, 4::BIGINT AS rows_per_band,
+        |    (SELECT count(*) FROM cands4) AS n_candidates,
+        |    (SELECT count(*) FROM ver4) AS n_verified
+        |  UNION ALL
+        |  SELECT 8::BIGINT, 2::BIGINT,
+        |    (SELECT count(*) FROM cands2),
+        |    (SELECT count(*) FROM ver2)),
+        |flags AS (SELECT
+        |  (SELECT count(*) FROM cands4 c4 WHERE NOT EXISTS
+        |    (SELECT 1 FROM cands2 c2 WHERE c2.id1 = c4.id1 AND c2.id2 = c4.id2)) = 0 AS nested_ok,
+        |  (SELECT count(*) FROM ver2) >= (SELECT count(*) FROM ver4) AS recall_monotone)
+        |SELECT n_bands, rows_per_band, n_candidates, n_verified,
+        |  floor(n_verified * 1.0 / n_candidates * 10000 + 0.5) / 10000 AS prec,
+        |  nested_ok, recall_monotone
+        |FROM summary CROSS JOIN flags ORDER BY n_bands""".stripMargin)),
+
     QuerySpec("d9_cross_neardups", TextQueries.d9CrossNearDups,
       Some(s"""WITH ${minhashBandCtes("_t", "doc_id % 25 <> 0")},
         |${minhashBandCtes("_e", "doc_id % 25 = 0")},

@@ -1094,6 +1094,32 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
 
+  /** Windowed trending top-k (w4) — "what's hot each hour": per hourly
+    * window, the top-3 event types by count, ranked through the SAME
+    * bounded [[graft.functions.TopKByCount]] aggregate a11/t20 use, so
+    * the per-window ranking shuffles O(k · tasks) candidate rows instead
+    * of each window's full type distribution — the trending-dashboard
+    * query at 100 TB, where a window can hold billions of events but the
+    * ranked answer is 3 rows. One repartition on the window key satisfies
+    * both the (window, type) count and the window-keyed top-k by the
+    * subset clustering rule (a11's single-exchange idiom); ties rank
+    * (cnt desc, type asc), identical to the oracle's window. */
+  def w4TrendingTopk(s: SparkSession, d: String): DataFrame = {
+    val counted = Tables.events(s, d)
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .repartition(col("hour_bucket"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counted
+      .groupBy(col("hour_bucket"))
+      .agg(graft.functions.AggregateFunctions.top_k_by_count(
+        struct(col("cnt"), col("event_type")), 3).as("top"))
+      .select(col("hour_bucket"), posexplode(col("top")))
+      .select(col("hour_bucket"), col("col.event_type").as("event_type"),
+        col("col.cnt").as("cnt"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("hour_bucket"), col("rank"))
+  }
+
   /** Hopping-window rollup (1 h windows sliding every 30 min — the batch
     * twin of [[graft.streaming.WindowedOps.slidingRollup]]): each event
     * lands in exactly windowLen/hop = 2 windows, made explicit by exploding

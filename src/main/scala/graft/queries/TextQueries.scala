@@ -168,6 +168,58 @@ object TextQueries {
       .orderBy(col("cluster"))
   }
 
+  /** LSH band-geometry dial (d11) — the dedup analog of e19's PQ dial:
+    * the SAME 16-hash MinHash signatures banded two ways, 4 bands × 4
+    * rows (d2/d3's production geometry) vs 8 bands × 2 rows, measured
+    * against each other on candidate volume, verified-dup yield
+    * (exact Jaccard ≥ 0.8 on candidates only), and precision. Two
+    * structural facts are pinned as booleans, not assumed:
+    *   - `nested_ok` — a 4-row band match means both of its 2-row halves
+    *     match, so the 4×4 candidate set is a SUBSET of 8×2's (the
+    *     S-curve moves one way when bands split);
+    *   - `recall_monotone` — more candidates can only find ≥ as many
+    *     true dups.
+    * What the numbers then show is the LSH trade: splitting bands buys
+    * recall with a superlinear candidate (and verify-cost) bill — the
+    * r-vs-b dial every production dedup tunes. ONE shingle pass and ONE
+    * signature pass feed both geometries (banding is a per-row reshape
+    * of the signature column); the verify joins run on candidate sets,
+    * never the corpus. */
+  def d11LshDial(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleFrame(
+      canonicalDocs(Tables.documents(s, d), "doc_id", "text"),
+      "doc_id", "text").localCheckpoint(true)
+    def cands(rpb: Int): DataFrame =
+      candidatesFromBands(bandsFromShingles(sh, 16, rpb)).localCheckpoint(true)
+    def verified(c: DataFrame): DataFrame =
+      broadcast(broadcast(c).join(sh.as("sa"), col("id1") === col("sa.doc_id")))
+        .join(sh.as("sb"), col("id2") === col("sb.doc_id"))
+        .withColumn("j", jaccard(col("sa.sh"), col("sb.sh")))
+        .filter(col("j") >= 0.8)
+    val c4 = cands(4)
+    val c2 = cands(2)
+    def stats(nb: Long, rpb: Long, c: DataFrame): DataFrame =
+      c.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verified(c).agg(count(lit(1)).as("n_verified")))
+        .select(lit(nb).as("n_bands"), lit(rpb).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"))
+    val glob = c4.join(c2, Seq("id1", "id2"), "left_anti")
+      .agg((count(lit(1)) === 0L).as("nested_ok"))
+      .crossJoin(
+        verified(c4).agg(count(lit(1)).as("__v4"))
+          .crossJoin(verified(c2).agg(count(lit(1)).as("__v2")))
+          .select((col("__v2") >= col("__v4")).as("recall_monotone")))
+    stats(4L, 4L, c4).union(stats(8L, 2L, c2))
+      .crossJoin(broadcast(glob))
+      .select(col("n_bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_verified"),
+        graft.operators.Relational.round4(
+          col("n_verified").cast("double") / col("n_candidates"))
+          .as("prec"),
+        col("nested_ok"), col("recall_monotone"))
+      .orderBy(col("n_bands"))
+  }
+
   /** Cross-corpus decontamination over a deterministic benchmark split:
     * every 25th doc plays the eval set, the rest the training corpus;
     * flag train docs sharing ≥ 3 distinct trigram shingles with any eval
