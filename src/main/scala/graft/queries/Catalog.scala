@@ -834,6 +834,25 @@ object Catalog {
         |SELECT event_type, smp_rank, user_id FROM r
         |WHERE smp_rank <= 10 ORDER BY event_type, smp_rank""".stripMargin)),
 
+    // Efraimidis-Spirakis weighted sample without replacement: key
+    // u^(1/w) compared as ln(u)/w, u from the md5 hash-uniform, weight
+    // c_acctbal+1000; quantized to a long so both engines rank identical
+    // integers (the one ln per row is the only transcendental)
+    QuerySpec("a16_weighted_sample", RelationalQueries.a16WeightedSample,
+      Some("""WITH h AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM customer),
+        |k AS (SELECT c_mktsegment, c_custkey,
+        |    CAST(floor(ln((h + 0.5) / 4294967296.0) / (c_acctbal + 1000.0)
+        |      * 4294967296.0) AS BIGINT) AS q
+        |  FROM h),
+        |r AS (SELECT c_mktsegment, c_custkey,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY q DESC, c_custkey) AS INT) AS smp_rank
+        |  FROM k)
+        |SELECT c_mktsegment, smp_rank, c_custkey FROM r
+        |WHERE smp_rank <= 8 ORDER BY c_mktsegment, smp_rank""".stripMargin)),
+
     // theta-sketch audience overlap: |A ∩ B| per event-type pair must
     // estimate within 5% of |A ∪ B| on both the direct and the 4-way
     // sharded-union build; estimates are build-path-dependent so the

@@ -851,6 +851,42 @@ object RelationalQueries {
       .orderBy(col("event_type"), col("smp_rank"))
   }
 
+  /** Weighted sample WITHOUT replacement per group (a16) — a15's uniform
+    * bottom-k generalized to weights, via Efraimidis–Spirakis (2006): item
+    * i gets key u_i^(1/w_i) with u_i uniform in (0,1); the top-k keys ARE
+    * an exact weight-proportional sample without replacement (each
+    * successive draw picks i with probability w_i/Σw_remaining). Here
+    * u_i is the repo-wide 32-bit md5 hash mapped to ((h+0.5)/2^32), so
+    * the "random" permutation is a pure function of the key set —
+    * reproducible across engines, partitionings, and reruns, exactly
+    * like a15/t6/t16's hash-membership contract. Comparing u^(1/w) is
+    * comparing ln(u)/w (both strictly negative, larger = earlier draw);
+    * the key is quantized to a long — floor(ln(u)/w · 2^32) — so the
+    * ranking runs through the SAME bounded [[graft.functions.TopKByCount]]
+    * aggregate as a11/a15/w4: O(k) partial buffers, k·tasks rows
+    * shuffled, never the member stream. Weight = c_acctbal + 1000 (> 0
+    * for the TPC-H acctbal domain [-999.99, 9999.99]); the only
+    * transcendental is one ln per row, map-side, codegen'd.
+    * `WeightedSampleSpec` pins equivalence with the row_number window
+    * formulation and that skewed weights actually bias the sample. */
+  def a16WeightedSample(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AggregateFunctions.top_k_by_count
+    val h = conv(substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = col("c_acctbal") + lit(1000.0)
+    val q = floor(log(u) / w * lit(4294967296.0)).cast("long")
+    Tables.customer(s, d)
+      .withColumn("__q", q)
+      .groupBy(col("c_mktsegment"))
+      .agg(top_k_by_count(
+        struct(col("__q").as("cnt"), col("c_custkey").as("key")), 8).as("__s"))
+      .select(col("c_mktsegment"), posexplode(col("__s")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("smp_rank"),
+        col("col.key").as("c_custkey"))
+      .orderBy(col("c_mktsegment"), col("smp_rank"))
+  }
+
   /** Theta-sketch set INTERSECTION as a gate (a14) — the operation the
     * HLL family (a8/a13) cannot express: HLL registers only union, but
     * theta sketches retain an actual hash sample of the set, so
