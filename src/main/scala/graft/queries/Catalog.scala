@@ -1291,6 +1291,30 @@ object Catalog {
         |FROM hit GROUP BY w1, w2
         |ORDER BY n_occ DESC, w1, w2""".stripMargin)),
 
+    // Zipf fit: ln-ln OLS over the top-100 token rank-frequency points,
+    // quantized to an integer grid (floor(ln·2^20)) so the sufficient
+    // statistics are exact ints and the closed-form doubles hash-equal
+    QuerySpec("t24_zipf_fit", TextQueries.t24ZipfFit,
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+        |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM c),
+        |q AS (SELECT
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1048576.0) AS BIGINT) AS xq,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1048576.0) AS BIGINT) AS yq
+        |  FROM r WHERE rank <= 100),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+        |    CAST(sum(xq*xq) AS BIGINT) AS sxx, CAST(sum(xq*yq) AS BIGINT) AS sxy,
+        |    CAST(sum(yq*yq) AS BIGINT) AS syy FROM q),
+        |t AS (SELECT *, n*sxy - sx*sy AS num, n*sxx - sx*sx AS denx,
+        |    n*syy - sy*sy AS deny FROM s)
+        |SELECT n, CAST(num AS DOUBLE)/CAST(denx AS DOUBLE) AS slope,
+        |  ((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE)/CAST(denx AS DOUBLE))
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 1048576.0 AS intercept,
+        |  (CAST(num AS DOUBLE)*CAST(num AS DOUBLE))
+        |    / (CAST(denx AS DOUBLE)*CAST(deny AS DOUBLE)) AS r2
+        |FROM t""".stripMargin)),
+
     // BPE merge-pair counting: within each whitespace token every adjacent
     // character pair is one occurrence (2-char substrings — identical
     // formation on both engines); the top_k_by_count aggregate must rank

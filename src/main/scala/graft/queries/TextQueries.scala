@@ -369,6 +369,59 @@ object TextQueries {
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("rank"))
 
+  /** Zipf's-law fit of the token rank-frequency curve (t24) — the
+    * corpus-statistics gate tying t8's vocabulary head to x10's OLS
+    * idiom: occurrence-count the tokens, rank the top 100 by
+    * (freq DESC, token ASC) through the bounded global
+    * [[graft.functions.TopKByCount]] (t20's O(k·tasks) shape — never a
+    * global sort of the vocabulary), then regress ln(freq) on ln(rank).
+    * Natural-language corpora put the slope near −1 (Zipf 1949); the
+    * gate pins the measured slope, intercept, and r². Honest gate
+    * (e18's pattern): the synthetic corpus draws from a ~31-token
+    * near-uniform vocabulary, so the measured slope is shallow
+    * (≈ −0.18, r² ≈ 0.06) — the gate pins the MEASUREMENT; the
+    * machinery is what transfers to a real corpus.
+    *
+    * The log-log points are QUANTIZED to an integer grid —
+    * floor(ln(v)·2²⁰), error < 1e-6 per point — so the OLS sufficient
+    * statistics are exact integers like x10's: partial-aggregation
+    * order cannot perturb them, both engines derive the closed-form
+    * doubles from identical ints with identically-shaped IEEE
+    * expressions, and the gate is hash-equal with no tolerance. The
+    * 2²⁰ scale cancels in slope and r²; the intercept divides it back
+    * out. One ln pair per ranked point (100 rows), map-side. */
+  def t24ZipfFit(s: SparkSession, d: String): DataFrame = {
+    val grid = 1048576.0 // 2^20
+    val ranked = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .agg(graft.functions.AggregateFunctions.top_k_by_count(
+        struct(col("freq"), col("token")), 100).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.freq").as("freq"))
+    ranked
+      .select(floor(log(col("rank").cast("double")) * lit(grid)).cast("long").as("xq"),
+        floor(log(col("freq").cast("double")) * lit(grid)).cast("long").as("yq"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("yq") * col("yq")).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("n"),
+        (col("num").cast("double") / col("denx").cast("double")).as("slope"),
+        (((col("sy").cast("double")
+          - (col("num").cast("double") / col("denx").cast("double"))
+            * col("sx").cast("double")) / col("n").cast("double"))
+          / lit(grid)).as("intercept"),
+        ((col("num").cast("double") * col("num").cast("double"))
+          / (col("denx").cast("double") * col("deny").cast("double"))).as("r2"))
+  }
+
   /** Iterated BPE training ([[graft.operators.TextOps.bpeTrainMerges]]):
     * THREE rounds of the count → argmax → merge → re-count loop t20 takes
     * the first step of. Rounds 2-3 count pairs over symbols the earlier
