@@ -235,6 +235,50 @@ object Similarity {
     (assign(centArr), centroids)
   }
 
+  /** Top principal component by POWER ITERATION, fully in-plan — the
+    * dimensionality-reduction primitive (PCA/OPQ's workhorse; Golub &
+    * Van Loan §8.2) in [[kmeans]]'s distributed shape: each round is ONE
+    * map-side-combining aggregate computing the covariance action
+    * w = Σ (x−μ)((x−μ)·v) — never a materialized d×d covariance, never a
+    * row collect — followed by an O(d) normalize on the one-row result,
+    * which broadcasts back for the next round. At 100 TB each round
+    * shuffles d doubles per task; the corpus is scanned once per round
+    * from a centered localCheckpoint. Round-to-round state (the axis) is
+    * round4-quantized exactly like [[kmeans]]'s centroids, so
+    * partial-aggregation order cannot perturb the chain and the oracle
+    * replays it verbatim. Start axis = uniform 1/8 (exact), non-orthogonal
+    * to any data direction that survives centering; sign is stable because
+    * the covariance is PSD (w·v = v·Cv ≥ 0 — no per-round flip).
+    * Returns (per-vector frame with the projection `proj` and centered
+    * self-dot `xx`, both round4'd; the final one-row axis). */
+  def pcaPower(corpus: DataFrame, rounds: Int, dims: Int): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val mu = vecs.agg(array((1 to dims).map(i =>
+      Relational.round4(avg(element_at(col("v"), i)))): _*).as("mu"))
+    val centered = vecs.crossJoin(broadcast(mu))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("mu"), (a, b) => a - b).as("x"))
+      .localCheckpoint(true)
+    var axis = spark.range(1)
+      .select(array_repeat(lit(0.125), dims).as("ax"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val w = centered.crossJoin(broadcast(axis))
+        .withColumn("s", dot(col("x"), col("ax")))
+        .agg(array((1 to dims).map(i =>
+          Relational.round4(avg(element_at(col("x"), i) * col("s")))): _*).as("w"))
+      axis = w.select(transform(col("w"),
+          wj => Relational.round4(wj / sqrt(dot(col("w"), col("w"))))).as("ax"))
+        .localCheckpoint(true)
+    }
+    val projected = centered.crossJoin(broadcast(axis))
+      .select(col("vec_id"),
+        Relational.round4(dot(col("x"), col("ax"))).as("proj"),
+        Relational.round4(dot(col("x"), col("x"))).as("xx"))
+    (projected, axis)
+  }
+
   /** Multi-probe IVF ANN over a LEARNED assignment: [[knnIVFMultiProbe]]'s
     * exact probe/scan shape, but the corpus cells come from [[kmeans]]
     * assignments and the probe ranking uses the trained centroids directly

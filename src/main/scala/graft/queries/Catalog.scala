@@ -165,6 +165,42 @@ object Catalog {
   private val kmCtes = kmeansCtes(
     SimilarityQueries.KmeansK, SimilarityQueries.KmeansRounds, 64)
 
+  /** Unrolled power-iteration CTE chain mirroring
+    * [[graft.operators.Similarity.pcaPower]]: round4'd per-dim mean,
+    * centered vectors, uniform 1/8 start axis; per round r the
+    * covariance-action aggregate w = avg(x·(x·ax)) per dim (round4'd)
+    * then the normalized round4'd axis. Quantization before every reuse
+    * means both engines iterate identical doubles — same contract as
+    * [[kmeansCtes]]. */
+  private def pcaPowerCtes(rounds: Int, dims: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""pv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |pmu AS (SELECT list(m ORDER BY dim) AS mu FROM (
+      |    SELECT dim, floor(avg(v[dim]) * 10000 + 0.5) / 10000 AS m
+      |    FROM pv, generate_series(1, $dims) AS t(dim) GROUP BY dim)),
+      |px AS (SELECT vec_id,
+      |    list_transform(generate_series(1, $dims), i -> v[i] - mu[i]) AS x
+      |  FROM pv, pmu),
+      |pax0 AS (SELECT list_transform(generate_series(1, $dims), i -> 0.125::DOUBLE) AS ax)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |pw$r AS (SELECT list(wd ORDER BY dim) AS w FROM (
+        |    SELECT dim, floor(avg(x[dim] * s) * 10000 + 0.5) / 10000 AS wd
+        |    FROM (SELECT x, list_dot_product(x, ax) AS s FROM px, pax${r - 1}),
+        |      generate_series(1, $dims) AS t(dim)
+        |    GROUP BY dim)),
+        |pax$r AS (SELECT list_transform(w,
+        |    wj -> floor(wj / sqrt(list_dot_product(w, w)) * 10000 + 0.5) / 10000) AS ax
+        |  FROM pw$r)""".stripMargin
+    }
+    sb ++= s""",
+      |pp AS (SELECT vec_id,
+      |    floor(list_dot_product(x, ax) * 10000 + 0.5) / 10000 AS proj,
+      |    floor(list_dot_product(x, x) * 10000 + 0.5) / 10000 AS xx
+      |  FROM px, pax$rounds)""".stripMargin
+    sb.toString
+  }
+
   /** Shared BPE training-chain CTEs (t21 training, t22 application):
     * t0 = the raw (doc_id, token) stream; per round i, c_i counts adjacent
     * 2-char pairs over t_(i-1), m_i is the argmax merge (cnt desc, pair
@@ -1748,6 +1784,19 @@ object Catalog {
           |  m4.mean_recall >= m2.mean_recall AS finer_wins
           |FROM mr2 m2, mr4 m4""".stripMargin
       }),
+
+    // power-iteration PCA: 6 covariance-action rounds (round4'd axis per
+    // round), per-vector projection on the recovered top axis, variance
+    // ratio from exact decimal sums of round4'd per-row quantities
+    QuerySpec("e23_pca_project", SimilarityQueries.e23PcaProject,
+      Some(s"""WITH ${pcaPowerCtes(6, 64)},
+        |prt AS (SELECT
+        |    CAST(sum(CAST(floor(proj * proj * 10000 + 0.5) / 10000
+        |      AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(xx AS DECIMAL(18,4))) AS DOUBLE) AS r FROM pp),
+        |prr AS (SELECT floor(r * 10000 + 0.5) / 10000 AS var_ratio FROM prt)
+        |SELECT vec_id, proj, var_ratio FROM pp, prr
+        |ORDER BY vec_id""".stripMargin)),
 
     // OPQ-lite permutation search: one PQ chain pair per candidate
     // coordinate partition (identity reuses the _p chains), corpus-total

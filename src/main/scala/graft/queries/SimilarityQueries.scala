@@ -544,6 +544,31 @@ object SimilarityQueries {
       .orderBy(col("perm"))
   }
 
+  /** Top-PC projection by in-plan power iteration (e23,
+    * [[graft.operators.Similarity.pcaPower]]): 6 rounds of the
+    * covariance-action aggregate recover the corpus's dominant axis, and
+    * every embedding is projected onto it — the dimensionality-reduction
+    * step (PCA whitening, OPQ's rotation basis, 1-D embedding sketches)
+    * done as one mergeable aggregate per round. `var_ratio` — the
+    * fraction of total centered variance the axis explains (λ₁/tr C) —
+    * is derived from exact decimal sums of the round4'd per-row
+    * quantities (e10's order-free idiom). The oracle replays the entire
+    * centering + 6-round chain from the raw embeddings.
+    * `PcaPowerSpec` pins axis recovery on a known anisotropic corpus. */
+  def e23PcaProject(s: SparkSession, d: String): DataFrame = {
+    val (projected, _) = graft.operators.Similarity.pcaPower(
+      Tables.embeddings(s, d), rounds = 6, dims = KmeansDims)
+    val p = projected.localCheckpoint(true)
+    val ratio = p.agg(
+      (sum(graft.operators.Relational.round4(col("proj") * col("proj"))
+          .cast("decimal(18,4)")).cast("double")
+        / sum(col("xx").cast("decimal(18,4)")).cast("double")).as("__r"))
+      .select(graft.operators.Relational.round4(col("__r")).as("var_ratio"))
+    p.crossJoin(broadcast(ratio))
+      .select(col("vec_id"), col("proj"), col("var_ratio"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Stored-model serving (the deployment contract IN the correctness
     * record): persist the session-trained coarse+PQ model through
     * [[graft.operators.ModelStore]] — plain parquet tables, the form a
