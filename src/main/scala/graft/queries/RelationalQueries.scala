@@ -1146,6 +1146,16 @@ object RelationalQueries {
       .repartition(col("hour_bucket"))
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+    trendingTopkFrom(counted)
+  }
+
+  /** [[w4TrendingTopk]]'s ranking over a caller-supplied
+    * (hour_bucket, event_type, cnt) frame — shared with the streaming
+    * twin, whose serving side re-ranks the UPDATE-mode windowed counts
+    * with exactly this function (`StreamingTrendingSpec`): counts are the
+    * streamed state, the top-k is derived at read, so the stream never
+    * holds per-window rankings that a late count would invalidate. */
+  def trendingTopkFrom(counted: DataFrame): DataFrame =
     counted
       .groupBy(col("hour_bucket"))
       .agg(graft.functions.AggregateFunctions.top_k_by_count(
@@ -1154,7 +1164,6 @@ object RelationalQueries {
       .select(col("hour_bucket"), col("col.event_type").as("event_type"),
         col("col.cnt").as("cnt"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("hour_bucket"), col("rank"))
-  }
 
   /** Hopping-window rollup (1 h windows sliding every 30 min — the batch
     * twin of [[graft.streaming.WindowedOps.slidingRollup]]): each event
