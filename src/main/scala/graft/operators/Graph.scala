@@ -201,6 +201,38 @@ object Graph {
     ranks
   }
 
+  /** Single-source BFS levels (unweighted SSSP) by min-relaxation —
+    * Pregel's canonical first program, run as `iters` rounds of ONE
+    * edge join + min-aggregate per round over the ENTITY edge list
+    * (Bellman-Ford on unit weights; Malewicz et al. 2010 §5.1). Levels
+    * are exact integers, so the chain is hash-equal with no tolerance —
+    * d6/x11's determinism discipline. `iters` bounds the explored
+    * radius: nodes beyond it keep a null level (unreached), which is the
+    * honest answer under a fixed round budget. Per round the shuffle
+    * carries (dst, candidate-level) pairs with a map-side min-combine;
+    * a frontier-delta refinement (send only newly-improved nodes) would
+    * cut re-sends on high-diameter graphs but changes no answers —
+    * entity graphs here are shallow, so the simpler relaxation is the
+    * right trade. O(1) lineage via per-round localCheckpoint. */
+  def bfsLevels(edges: DataFrame, nodes: DataFrame, src: Long,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src").as("eu"), col("dst").as("ev"))
+      .localCheckpoint(true)
+    var levels = nodes
+      .select(col("id"), when(col("id") === src, 0L).as("lvl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val cand = e.join(levels, e("eu") === levels("id"))
+        .filter(col("lvl").isNotNull)
+        .select(col("ev").as("id"), (col("lvl") + 1L).as("nl"))
+        .groupBy(col("id")).agg(min(col("nl")).as("nl"))
+      levels = levels.join(cand, Seq("id"), "left")
+        .select(col("id"), least(col("lvl"), col("nl")).as("lvl"))
+        .localCheckpoint(true)
+    }
+    levels
+  }
+
   /** Exact triangle count + global clustering coefficient over a distinct
     * undirected edge list (columns `u` < `v`) — the graph-structure
     * statistic behind community detection and co-occurrence quality

@@ -28,6 +28,40 @@ object Relational {
       .drop("__rn")
   }
 
+  /** CDC MERGE-apply — the lakehouse upsert (Delta/Iceberg `MERGE INTO`
+    * semantics, Armbrust et al. 2020 §3.2) as two relational steps:
+    *
+    *  1. CHANGELOG COMPACTION: latest change per key as ONE mergeable
+    *     aggregate — `max(struct(seq, seq2, op, newval))` is lexicographic,
+    *     so partial buffers combine map-side and the shuffle carries one
+    *     row per (key, task), never the change stream. This is the
+    *     100 TB-critical half: a day's changelog compacts before it ever
+    *     meets the snapshot. (`seq`,`seq2`) must be unique per key —
+    *     the caller's change-log ordering contract.
+    *  2. APPLY: one full-outer join snapshot ⋈ compacted on `key`;
+    *     `delete` drops the row (a delete of an absent key is a no-op),
+    *     `upsert` overwrites or inserts, untouched snapshot rows pass
+    *     through. Compacted changes are bounded by the ACTIVE key set, so
+    *     at a typical snapshot≫delta ratio the join broadcasts the delta.
+    *
+    * Contracts: snapshot(key, val), changes(key, seq, seq2, op, newval)
+    * with op ∈ {'upsert','delete'}. Output (key, val, src) where src
+    * records provenance: kept | updated | inserted. */
+  def cdcApply(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    val latest = changes
+      .groupBy(col("key"))
+      .agg(max(struct(col("seq"), col("seq2"), col("op"), col("newval"))).as("c"))
+      .select(col("key"), col("c.op").as("op"), col("c.newval").as("newval"))
+    snapshot.withColumn("__present", lit(true))
+      .join(latest, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("key"),
+        when(col("op").isNotNull, col("newval")).otherwise(col("val")).as("val"),
+        when(col("op").isNull, lit("kept"))
+          .otherwise(when(col("__present").isNull, lit("inserted"))
+            .otherwise(lit("updated"))).as("src"))
+  }
+
   /** Top-K rows per group with deterministic tie-breaks (SURVEY §2.6 T1/T2,
     * reference `SortedCounterMap.top(3)` at samples/TopCustomerArtists.java:125-129).
     *

@@ -754,6 +754,50 @@ object Catalog {
     // entity-graph PageRank: fact-scale edge aggregation, then 5 rounds of
     // fixed-point integer rank propagation (scale 1e9, damping 85/100,
     // floor division) — integer-exact, oracle replays every round
+    // CDC merge-apply: latest change per key (ts, event_id lexicographic
+    // max) onto the customer snapshot; upsert/delete/insert provenance
+    QuerySpec("x16_cdc_apply", RelationalQueries.x16CdcApply,
+      Some("""WITH ch AS (SELECT user_id AS key, epoch_us(ts) AS seq,
+        |    event_id AS seq2,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |    value AS newval
+        |  FROM events),
+        |lat AS (SELECT key, op, newval FROM (
+        |    SELECT key, op, newval, row_number() OVER (PARTITION BY key
+        |      ORDER BY seq DESC, seq2 DESC) AS rk FROM ch) t WHERE rk = 1),
+        |m AS (SELECT coalesce(c.c_custkey, l.key) AS key,
+        |    CASE WHEN l.op IS NOT NULL THEN l.newval ELSE c.c_acctbal END AS val,
+        |    CASE WHEN l.op IS NULL THEN 'kept'
+        |         WHEN c.c_custkey IS NULL THEN 'inserted'
+        |         ELSE 'updated' END AS src,
+        |    l.op AS op
+        |  FROM customer c FULL OUTER JOIN lat l ON c.c_custkey = l.key)
+        |SELECT key, val, src FROM m WHERE op IS NULL OR op <> 'delete'
+        |ORDER BY key""".stripMargin)),
+
+    // single-source BFS levels on the above-average trade graph: 6
+    // min-relax rounds == recursive reachability capped at depth 6;
+    // unreached nations stay null
+    QuerySpec("x17_bfs_levels", RelationalQueries.x17BfsLevels,
+      Some("""WITH RECURSIVE edges AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |aw AS (SELECT avg(w) AS aw FROM edges),
+        |ed AS (SELECT src, dst FROM edges, aw WHERE w > aw),
+        |walk(id, l) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS l
+        |  UNION
+        |  SELECT CAST(e.dst AS BIGINT), w.l + 1
+        |  FROM walk w JOIN ed e ON e.src = w.id WHERE w.l < 6),
+        |lvls AS (SELECT id, min(l) AS lvl FROM walk GROUP BY id)
+        |SELECT n.n_name, lvls.lvl FROM nation n
+        |LEFT JOIN lvls ON n.n_nationkey = lvls.id
+        |ORDER BY n.n_name""".stripMargin)),
+
     QuerySpec("x11_pagerank", RelationalQueries.x11Pagerank,
       Some {
         val base = 150000000L // (100-85) * 1e9 / 100

@@ -582,7 +582,21 @@ object RelationalQueries {
     * tolerance — the same determinism discipline as the Lloyd chains,
     * extended to the graph family beyond d6's connected components. */
   def x11Pagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val nodes = Tables.nation(s, d).select(col("n_nationkey").as("id"))
+    graft.operators.Graph.pagerankInt(tradeFlowEdges(s, d), nodes, iters = 5)
+      .join(Tables.nation(s, d), col("id") === col("n_nationkey"))
+      .select(col("n_name"), col("pr"))
+      .orderBy(col("pr").desc, col("n_name"))
+  }
+
+  /** The customer-nation → supplier-nation trade-flow edge aggregation
+    * shared by the graph gates (x11 PageRank, x17 BFS): every lineitem
+    * becomes one unit of flow via orders→customer and supplier, shuffled
+    * once on the join keys and partial-aggregated map-side into ≤ |V|²
+    * weighted edges — the fact-scale pass the iterative algorithms then
+    * never re-touch. */
+  private def tradeFlowEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
@@ -591,11 +605,47 @@ object RelationalQueries {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
+
+  /** Single-source BFS levels over the trade graph (x17,
+    * [[graft.operators.Graph.bfsLevels]]): keep only ABOVE-AVERAGE trade
+    * edges (an exact long-vs-double compare, identical on both engines —
+    * the dense nation graph needs thinning for BFS to have structure),
+    * then 6 min-relaxation rounds from nation 0. Unreached nations keep a
+    * null level — the honest answer under a fixed round budget. The
+    * oracle replays the reachability as a recursive CTE capped at the
+    * same depth; levels are exact integers, hash-equal. */
+  def x17BfsLevels(s: SparkSession, d: String): DataFrame = {
+    val all = tradeFlowEdges(s, d)
+    val aw = all.agg(avg(col("w")).as("aw"))
+    val edges = all.crossJoin(broadcast(aw))
+      .filter(col("w").cast("double") > col("aw"))
+      .select(col("src"), col("dst"))
     val nodes = Tables.nation(s, d).select(col("n_nationkey").as("id"))
-    graft.operators.Graph.pagerankInt(edges, nodes, iters = 5)
+    graft.operators.Graph.bfsLevels(edges, nodes, src = 0L, iters = 6)
       .join(Tables.nation(s, d), col("id") === col("n_nationkey"))
-      .select(col("n_name"), col("pr"))
-      .orderBy(col("pr").desc, col("n_name"))
+      .select(col("n_name"), col("lvl"))
+      .orderBy(col("n_name"))
+  }
+
+  /** CDC merge-apply gate (x16, [[graft.operators.Relational.cdcApply]]):
+    * the customer snapshot under the events changelog — user_id keys an
+    * acctbal overwrite ('error' events are tombstones), latest change per
+    * key wins by (ts, event_id). Exercises all three MERGE outcomes on
+    * real overlap: user_ids 1-149 update existing customers, user_id 0
+    * inserts a new key, 'error'-last keys delete. The provenance column
+    * makes each row's path part of the gate. */
+  def x16CdcApply(s: SparkSession, d: String): DataFrame = {
+    val snapshot = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("val"))
+    val changes = Tables.events(s, d).select(
+      col("user_id").as("key"),
+      expr("ts div 1000").as("seq"),
+      col("event_id").as("seq2"),
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("upsert")).as("op"),
+      col("value").as("newval"))
+    graft.operators.Relational.cdcApply(snapshot, changes)
+      .orderBy(col("key"))
   }
 
   /** Z-order data layout (x12) — the storage-layout operator behind
