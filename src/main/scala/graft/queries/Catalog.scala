@@ -914,6 +914,20 @@ object Catalog {
         |SELECT event_type, smp_rank, user_id FROM r
         |WHERE smp_rank <= 10 ORDER BY event_type, smp_rank""".stripMargin)),
 
+    // equi-width histogram: 20 fixed 25-wide value bins per event type
+    // (clamped floor division), counts + per-type share
+    QuerySpec("a17_histogram", RelationalQueries.a17Histogram,
+      Some("""WITH ev AS (SELECT event_type,
+        |    CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT) AS bucket
+        |  FROM events),
+        |tot AS (SELECT event_type, count(*) AS total FROM ev GROUP BY event_type),
+        |b AS (SELECT event_type, bucket, count(*) AS n
+        |  FROM ev GROUP BY event_type, bucket)
+        |SELECT b.event_type, b.bucket, b.n,
+        |  floor(b.n * 1.0 / tot.total * 10000 + 0.5) / 10000 AS share
+        |FROM b JOIN tot ON b.event_type = tot.event_type
+        |ORDER BY b.event_type, b.bucket""".stripMargin)),
+
     // Efraimidis-Spirakis weighted sample without replacement: key
     // u^(1/w) compared as ln(u)/w, u from the md5 hash-uniform, weight
     // c_acctbal+1000; quantized to a long so both engines rank identical

@@ -901,6 +901,32 @@ object RelationalQueries {
       .orderBy(col("event_type"), col("smp_rank"))
   }
 
+  /** Equi-width histogram (a17) — the data-profiling primitive that was
+    * still implicit in the family (t7/a12 give quantiles — the
+    * equi-DEPTH view; this is the equi-WIDTH one a dashboard draws):
+    * events.value bucketed into 20 fixed 25-wide bins (floor division —
+    * identical IEEE both engines; the clamp makes outliers land in the
+    * edge bins instead of minting unbounded bucket ids), counted per
+    * (type, bucket), with each bucket's share of its type. Two
+    * map-side-combining aggregates and one broadcast join of the 5-row
+    * totals — fixed bucketing is what keeps a histogram ONE pass at
+    * 100 TB, where quantile-based bucketing would need a12's sketch
+    * first. */
+  def a17Histogram(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("bucket",
+        least(greatest(floor(col("value") / lit(25.0)), lit(0.0)), lit(19.0))
+          .cast("int"))
+    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("total"))
+    ev.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        graft.operators.Relational.round4(
+          col("n").cast("double") / col("total")).as("share"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Weighted sample WITHOUT replacement per group (a16) — a15's uniform
     * bottom-k generalized to weights, via Efraimidis–Spirakis (2006): item
     * i gets key u_i^(1/w_i) with u_i uniform in (0,1); the top-k keys ARE
