@@ -914,6 +914,21 @@ object Catalog {
         |SELECT event_type, smp_rank, user_id FROM r
         |WHERE smp_rank <= 10 ORDER BY event_type, smp_rank""".stripMargin)),
 
+    // last-touch attribution: one per-user window pass credits each
+    // purchase to the latest prior non-purchase event; (ts µs, event_id)
+    // tie order; decimal revenue sums
+    QuerySpec("x18_attribution", RelationalQueries.x18Attribution,
+      Some(s"""WITH t AS (SELECT user_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS channel, count(*) AS n_purchases,
+        |  ${sumDecSql("value")} AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin)),
+
     // equi-width histogram: 20 fixed 25-wide value bins per event type
     // (clamped floor division), counts + per-type share
     QuerySpec("a17_histogram", RelationalQueries.a17Histogram,
@@ -1384,6 +1399,25 @@ object Catalog {
         |  min(doc_id) AS first_doc, count(*) = any_value(cnt) AS occ_consistent
         |FROM hit GROUP BY w1, w2
         |ORDER BY n_occ DESC, w1, w2""".stripMargin)),
+
+    // per-source KL divergence vs the corpus token mix: one (source,
+    // token) count re-summed three ways; each p*ln(p/q) summand quantized
+    // to the 2^20 grid so the per-source sum is an exact long
+    QuerySpec("t25_source_kl", TextQueries.t25SourceKl,
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, count(*) AS cs FROM tok GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM st GROUP BY source),
+        |ct AS (SELECT token, CAST(sum(cs) AS BIGINT) AS cc FROM st GROUP BY token),
+        |ctot AS (SELECT CAST(sum(cs) AS BIGINT) AS tc FROM st),
+        |term AS (SELECT source,
+        |    CAST(floor((cs / CAST(ts AS DOUBLE))
+        |      * ln((cs / CAST(ts AS DOUBLE)) / (cc / CAST(tc AS DOUBLE)))
+        |      * 1048576.0) AS BIGINT) AS tq
+        |  FROM st JOIN stot USING (source) JOIN ct USING (token) CROSS JOIN ctot)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(tq) AS BIGINT) / 1048576.0 AS kl
+        |FROM term GROUP BY source ORDER BY source""".stripMargin)),
 
     // Zipf fit: ln-ln OLS over the top-100 token rank-frequency points,
     // quantized to an integer grid (floor(ln·2^20)) so the sufficient

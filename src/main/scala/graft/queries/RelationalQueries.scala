@@ -901,6 +901,35 @@ object RelationalQueries {
       .orderBy(col("event_type"), col("smp_rank"))
   }
 
+  /** Last-touch attribution (x18) — the marketing-analytics staple: each
+    * 'purchase' credits its value to the same user's most recent PRIOR
+    * non-purchase event type (the touch), then revenue rolls up per
+    * channel. One window pass per user — `last(touch, ignoreNulls) OVER
+    * (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)` — is the as-of
+    * self-join collapsed into a single shuffle on user_id, the same
+    * key-local shape as w2's sessionize: no events×events join exists at
+    * any scale. Purchases with no prior touch land in 'direct'.
+    * Deterministic order: (ts, event_id) — same-timestamp touches
+    * resolve by event id on both engines. Revenue is the exact decimal
+    * sum (cents contract), counts exact — hash-equal. */
+  def x18Attribution(s: SparkSession, d: String): DataFrame = {
+    // order on µs (ts div 1000), not raw nanos: DuckDB sees the µs
+    // truncation, so sub-µs precision must not decide the tie — event_id
+    // does, identically on both engines
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec(col("value"))).cast("double").as("revenue"))
+      .orderBy(col("channel"))
+  }
+
   /** Equi-width histogram (a17) — the data-profiling primitive that was
     * still implicit in the family (t7/a12 give quantiles — the
     * equi-DEPTH view; this is the equi-WIDTH one a dashboard draws):

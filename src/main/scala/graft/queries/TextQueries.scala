@@ -422,6 +422,41 @@ object TextQueries {
           / (col("denx").cast("double") * col("deny").cast("double"))).as("r2"))
   }
 
+  /** Per-source KL divergence of token distributions (t25) — the
+    * mixture-balancing diagnostic behind c4/t16's sampling weights:
+    * KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/q(t)) says how far each
+    * source's token mix drifts from the blend (Kullback & Leibler 1951);
+    * sources with high KL are what temperature sampling flattens. ONE
+    * (source, token) count aggregate feeds everything: per-source totals,
+    * corpus-token counts, and the corpus total are all re-sums of it
+    * (t15's df-from-tf discipline — the corpus is never re-scanned).
+    * p and q are ratios of exact longs, each summand is quantized to the
+    * 2²⁰ grid (t24's idiom), so the per-source sum is an exact long and
+    * the gate is hash-equal — summation order can't wobble it. Every
+    * source token appears in the corpus by construction, so q > 0 always
+    * (no smoothing needed — the gate's KL is exact, not estimated). */
+  def t25SourceKl(s: SparkSession, d: String): DataFrame = {
+    val grid = 1048576.0 // 2^20
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cs"))
+      .localCheckpoint(true) // three re-sums below share the one count
+    val stot = st.groupBy(col("source")).agg(sum(col("cs")).as("ts"))
+    val ct = st.groupBy(col("token")).agg(sum(col("cs")).as("cc"))
+    val ctot = st.agg(sum(col("cs")).as("tc"))
+    val p = col("cs").cast("double") / col("ts")
+    val q = col("cc").cast("double") / col("tc")
+    st.join(broadcast(stot), Seq("source"))
+      .join(ct, Seq("token"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("tq", floor(p * log(p / q) * lit(grid)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("tq")) / lit(grid)).as("kl"))
+      .orderBy(col("source"))
+  }
+
   /** Iterated BPE training ([[graft.operators.TextOps.bpeTrainMerges]]):
     * THREE rounds of the count → argmax → merge → re-count loop t20 takes
     * the first step of. Rounds 2-3 count pairs over symbols the earlier
