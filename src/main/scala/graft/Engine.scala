@@ -41,8 +41,9 @@ object Engine {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries timestamp[ns]; read as LongType nanos so no
-      // precision is silently dropped (we bucket/order on exact int64 nanos).
+      // if events.parquet carries timestamp[ns], read it as LongType nanos
+      // so no precision is silently dropped (Tables.tsToMicros then
+      // normalizes either ns-as-long or µs-as-timestamp to int64 µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Streaming state lives in RocksDB, matching the reference's
       // RocksDB-backed stores (samples/TopCustomerArtists.java:79,
@@ -73,11 +74,33 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet stores timestamp[ns]; read as int64 nanos (exact)
-    // regardless of which session built us — the driver's Verify/Bench
-    // sessions don't go through Engine.session.
+    // If events.parquet stores timestamp[ns], read it as int64 nanos
+    // (exact) regardless of which session built us — the driver's
+    // Verify/Bench sessions don't go through Engine.session. (A µs file
+    // is unaffected by this flag; tsToMicros below handles both.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** `events.ts` normalized to int64 epoch-MICROS, whatever the parquet
+    * physically stores. The driver's generator has shipped both
+    * timestamp[ns] (read as int64 nanos via nanosAsLong) and
+    * timestamp[us] (read as TIMESTAMP_NTZ) across rounds; this is the
+    * single compatibility point — every downstream query sees `ts` as
+    * int64 µs, which is exactly DuckDB's `epoch_us(ts)` of the same
+    * file. All engine sessions run with session.timeZone=UTC, so the
+    * NTZ→LTZ cast below is the identity on the stored wall-clock value. */
+  def tsToMicros(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val us = df.schema("ts").dataType match {
+      case LongType          => expr("ts div 1000")
+      case TimestampNTZType  => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType     => unix_micros(col("ts"))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+    df.withColumn("ts", us)
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
@@ -87,7 +110,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = tsToMicros(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

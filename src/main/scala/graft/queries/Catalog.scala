@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     (exact, order-independent), final cast to DOUBLE;
   *   - `events.ts` (parquet timestamp[ns]) is read by Spark as int64 nanos
   *     and by DuckDB as µs-truncated TIMESTAMP; all uses go through
-  *     `ts div 1000` ≡ `epoch_us(ts)` so both sides agree exactly;
+  *     Tables.events normalizes `ts` to int64 epoch-micros ≡ DuckDB's
+  *     `epoch_us(ts)` so both sides agree exactly;
   *   - window ranks are CAST(... AS INT) in SQL to match Spark's
   *     IntegerType row_number;
   *   - list/array hashing is md5-based (engine-independent), never the
@@ -504,7 +505,7 @@ object Catalog {
     // count through the bounded TopKByCount aggregate; oracle ranks with a
     // row_number window, (cnt desc, type asc) ties
     QuerySpec("w4_trending_topk", RelationalQueries.w4TrendingTopk,
-      Some("""WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      Some("""WITH c AS (SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
         |    event_type, count(*) AS cnt
         |  FROM events GROUP BY 1, 2),
         |r AS (SELECT hour_bucket, event_type, cnt,
@@ -515,7 +516,7 @@ object Catalog {
         |ORDER BY hour_bucket, rank""".stripMargin)),
 
     QuerySpec("w1_hourly_rollup", RelationalQueries.w1HourlyRollup,
-      Some(s"""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      Some(s"""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         |  count(*) AS n, ${sumDecSql("value")} AS sum_value
         |FROM events GROUP BY hour_bucket, event_type
         |ORDER BY hour_bucket, event_type""".stripMargin)),
@@ -523,7 +524,7 @@ object Catalog {
     // hopping windows: event at hop index h belongs to windows starting at
     // h and h-1 (1 h length / 30 min hop = 2 covering windows per event)
     QuerySpec("w3_hopping_rollup", RelationalQueries.w3HoppingRollup,
-      Some(s"""WITH e AS (SELECT epoch_ns(ts) // 1800000000000 AS h, event_type, value FROM events)
+      Some(s"""WITH e AS (SELECT epoch_us(ts) // 1800000000 AS h, event_type, value FROM events)
         |SELECT (h - k) * 1800000000 AS win_start_us, event_type,
         |  count(*) AS n, ${sumDecSql("value")} AS sum_value
         |FROM e, (VALUES (0), (1)) AS t(k)

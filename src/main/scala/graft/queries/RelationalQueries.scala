@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *   - double aggregates go through decimal(18,2) so partial-aggregation
   *     order can't perturb the result (order-independent exact sums), then
   *     cast back to double for a stable schema;
-  *   - `events.ts` (nanos) is exposed as `ts_us = ts div 1000`, matching
-  *     DuckDB's µs truncation of the same parquet;
+  *   - `events.ts` arrives from Tables.events already normalized to int64
+  *     epoch-micros (whatever the parquet physically stores), matching
+  *     DuckDB's `epoch_us(ts)` of the same file;
   *   - every query ends in a deterministic ORDER BY with full tie-breaks.
   */
 object RelationalQueries {
@@ -40,7 +41,7 @@ object RelationalQueries {
   /** KTable semantics (SURVEY §2.1 S2): latest event per user. */
   def s2LatestByKey(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", col("ts"))
     latestByKey(ev, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts_us"))
       .orderBy(col("user_id"))
@@ -52,14 +53,14 @@ object RelationalQueries {
     * until the key's next record (open-ended for the current version).
     * One lead() over the same (key, time, tie-break) window s2 ranks by —
     * a single shuffle on user_id builds the full history table. Time is
-    * integer micros (`ts div 1000` ≡ `epoch_us`); the trailing NULL
+    * integer micros (Tables.events ≡ `epoch_us`); the trailing NULL
     * valid_to is the standard open-interval encoding and hashes fine. */
   def s6Scd2Intervals(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("valid_from_us"), col("event_id"))
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000").as("valid_from_us"))
+        col("ts").as("valid_from_us"))
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
       .withColumn("is_current", col("valid_to_us").isNull)
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
@@ -245,7 +246,7 @@ object RelationalQueries {
     * first 5 events per user CONFIRMED, the rest REJECTED, remaining runs
     * negative — batch window form; streaming form in graft.streaming. */
   def a2CapacityLedger(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val ev = Tables.events(s, d).withColumn("ts_us", col("ts"))
     capacityLedger(ev, "user_id", Seq(col("ts_us").asc, col("event_id").asc), 5)
       .select(col("user_id"), col("event_id"), col("seq"), col("status"), col("remaining"))
       .orderBy(col("user_id"), col("seq"))
@@ -279,7 +280,7 @@ object RelationalQueries {
     * pre-deduped per (user, instant) — as-of ties are otherwise
     * nondeterministic in any engine (DuckDB's native ASOF JOIN included). */
   def s3AsofEnrich(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val ev = Tables.events(s, d).withColumn("ts_us", col("ts"))
     val views = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts_us"))
       .agg(max(col("event_id")).as("view_event_id"))
@@ -297,7 +298,7 @@ object RelationalQueries {
     * ("what did this click lead to") — the mirror direction of s3, same
     * union-tag-window plan with time descending. */
   def s5AsofForward(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val ev = Tables.events(s, d).withColumn("ts_us", col("ts"))
     val views = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts_us"))
       .agg(max(col("event_id")).as("view_event_id"))
@@ -316,7 +317,7 @@ object RelationalQueries {
     * [[Relational.intervalSelfJoin]] — never a per-key cross product. */
   def s4RangePairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("event_id"), col("ts").as("ts_us"))
     intervalSelfJoin(e, Seq("user_id"), "event_id", "ts_us", 3600000000L)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -328,7 +329,7 @@ object RelationalQueries {
     * session. */
   def w2Sessionize(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), col("event_id"), col("ts").as("ts_us"),
         col("value"))
     sessionize(e, Seq("user_id"), "ts_us",
       Seq(col("ts_us").asc, col("event_id").asc), 14400000000L)
@@ -459,7 +460,7 @@ object RelationalQueries {
     * Unconverted users keep their row with gap −1 (keep-the-row; −1 keeps
     * the column integer on both engines). */
   def x8Funnel(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val ev = Tables.events(s, d).withColumn("ts_us", col("ts"))
     val views = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view"))
     val conv = ev.filter(col("event_type") === "click")
@@ -484,7 +485,7 @@ object RelationalQueries {
     * user_id — never events×events; the final distinct count partials
     * map-side per (cohort, week). */
   def x9Retention(s: SparkSession, d: String): DataFrame =
-    retentionFrom(Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")))
+    retentionFrom(Tables.events(s, d).withColumn("ts_us", col("ts")))
 
   /** [[x9Retention]]'s aggregation over a caller-supplied (user_id, ts_us)
     * frame — shared with the streaming twin's spec, which must compare the
@@ -529,7 +530,7 @@ object RelationalQueries {
   def x10GroupRegression(s: SparkSession, d: String): DataFrame =
     regressionFrom(Tables.events(s, d).select(
       col("event_type"),
-      (expr("(ts div 1000) div 86400000000") - lit(19723L)).as("x"),
+      (expr("ts div 86400000000") - lit(19723L)).as("x"),
       (dec(col("value")) * lit(100)).cast("long").as("yc")))
 
   /** [[x10GroupRegression]]'s statistics + closed form over a
@@ -639,7 +640,7 @@ object RelationalQueries {
       .select(col("c_custkey").as("key"), col("c_acctbal").as("val"))
     val changes = Tables.events(s, d).select(
       col("user_id").as("key"),
-      expr("ts div 1000").as("seq"),
+      col("ts").as("seq"),
       col("event_id").as("seq2"),
       when(col("event_type") === "error", lit("delete"))
         .otherwise(lit("upsert")).as("op"),
@@ -721,7 +722,7 @@ object RelationalQueries {
   def x13MarkovTransitions(s: SparkSession, d: String): DataFrame =
     markovFrom(Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us")))
+        col("ts").as("ts_us")))
 
   /** [[x13MarkovTransitions]]'s core over a caller-supplied (user_id,
     * event_id, event_type, ts_us) frame — shared with the hand-computed
@@ -913,11 +914,11 @@ object RelationalQueries {
     * resolve by event id on both engines. Revenue is the exact decimal
     * sum (cents contract), counts exact — hash-equal. */
   def x18Attribution(s: SparkSession, d: String): DataFrame = {
-    // order on µs (ts div 1000), not raw nanos: DuckDB sees the µs
+    // order on µs (the normalized ts), matching DuckDB's epoch_us: the µs
     // truncation, so sub-µs precision must not decide the tie — event_id
     // does, identically on both engines
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(expr("ts div 1000"), col("event_id"))
+      .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.events(s, d)
       .withColumn("touch",
@@ -1226,11 +1227,11 @@ object RelationalQueries {
   }
 
   /** Hourly rollup (beyond the reference: event-time tumbling window, the
-    * batch twin of the streaming windowed aggregate). Integer nano math on
-    * both engines — no timestamp-precision hazard. */
+    * batch twin of the streaming windowed aggregate). Integer micro math
+    * on both engines — no timestamp-precision hazard. */
   def w1HourlyRollup(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .withColumn("hour_bucket", expr("ts div 3600000000"))
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
@@ -1247,7 +1248,7 @@ object RelationalQueries {
     * (cnt desc, type asc), identical to the oracle's window. */
   def w4TrendingTopk(s: SparkSession, d: String): DataFrame = {
     val counted = Tables.events(s, d)
-      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .withColumn("hour_bucket", expr("ts div 3600000000"))
       .repartition(col("hour_bucket"))
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -1273,13 +1274,13 @@ object RelationalQueries {
   /** Hopping-window rollup (1 h windows sliding every 30 min — the batch
     * twin of [[graft.streaming.WindowedOps.slidingRollup]]): each event
     * lands in exactly windowLen/hop = 2 windows, made explicit by exploding
-    * the two covering hop indices — integer nano math, a 2× fan-out in the
+    * the two covering hop indices — integer micro math, a 2× fan-out in the
     * scan stage, then one ordinary aggregate shuffle (the same plan a
     * streaming hopping window executes per micro-batch). */
   def w3HoppingRollup(s: SparkSession, d: String): DataFrame = {
-    val hopNs = 1800000000000L // 30 min
+    val hopUs = 1800000000L // 30 min
     Tables.events(s, d)
-      .withColumn("h", expr(s"ts div $hopNs"))
+      .withColumn("h", expr(s"ts div $hopUs"))
       .select(col("event_type"), col("value"),
         explode(array(col("h"), col("h") - 1)).as("win_no"))
       .groupBy(col("win_no"), col("event_type"))

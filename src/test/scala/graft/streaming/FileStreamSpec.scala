@@ -13,25 +13,22 @@ class FileStreamSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanosAsLong
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   test("file-stream rollup equals the batch rollup on the same parquet") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def rollup(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("hour_bucket", expr("ts div 3600000000000"))
+      df.withColumn("hour_bucket", expr("ts div 3600000000"))
         .groupBy(col("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"))
 
-    val streamIn = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // the stream must declare the file's PHYSICAL schema (ns-as-long or
+    // µs-as-timestamp, depending on the generator); infer it from a batch
+    // read, then normalize ts with the same helper every batch query uses
+    val physicalSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamIn = graft.Tables.tsToMicros(
+      spark.readStream
+        .schema(physicalSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val q = rollup(streamIn)
       .writeStream.format("memory").queryName("file_rollup")
       .outputMode("complete").start()
