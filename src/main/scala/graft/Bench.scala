@@ -69,7 +69,12 @@ object Bench {
     // steal bursts last minutes — interleave full passes (not back-to-back
     // reps of one query) so each query's samples are spread across the run
     val passes = (1 to reps).map(_ => names.map(n => n -> exec(n)).toMap)
-    val results = names.map(n => n -> passes.map(_(n)).min)
+    // a failed query's samples are fail-fast noise (50-200 ms to throw), so
+    // they are EXCLUDED from both the per-query map and the headline total:
+    // "value" is always the passing-subset total and comparable across
+    // rounds; failed names are carried (only) in the "failed" array
+    val failedSet = failed.distinct.toSet
+    val results = names.filterNot(failedSet).map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

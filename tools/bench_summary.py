@@ -19,9 +19,12 @@ def main() -> int:
     prior = {} if sys.argv[2] == "-" else json.load(open(sys.argv[2]))["queries"]
     runs = [json.load(open(p)) for p in sys.argv[3:]]
     meta = runs[-1]
+    failed = sorted(set(sum((r.get("failed", []) for r in runs), [])))
     qs = {}
     for r in runs:
         for k, v in r["queries"].items():
+            if k in failed:  # fail-fast timings are noise, not measurements
+                continue
             qs[k] = min(v, qs[k]) if k in qs else v
     total = sum(qs.values())
     lines = [
@@ -32,7 +35,7 @@ def main() -> int:
         f"sf dir `{meta.get('sf')}` (min-of-runs because this host shows "
         f"bursty hypervisor CPU steal; see Bench.scala). Total "
         f"**{total:.1f} s** over **{len(qs)} queries**; "
-        f"failed: {sorted(set(sum((r.get('failed', []) for r in runs), [])))}.",
+        f"failed (excluded from total and table): {failed}.",
         "",
     ]
     if prior:
