@@ -267,8 +267,18 @@ object Graph {
       when(uFirst, col("v")).otherwise(col("u")).as("t"),
       when(uFirst, col("dv")).otherwise(col("du")).as("dt"))
       .localCheckpoint(true) // read by 3 plan branches below
-    val wedges = o.select(col("s"), col("t").as("t1"), col("dt").as("dt1"))
-      .join(o.select(col("s"), col("t").as("t2"), col("dt").as("dt2")), Seq("s"))
+    // a source with out-degree < 2 can't head a wedge, and (empirically,
+    // on a degree-ordered orientation) MOST sources have out-degree 1 —
+    // dropping them up front shrinks BOTH sides of the wedge self-join
+    // without touching the result. The window count shuffles on s, the
+    // exact partitioning the self-join needs, so the prune costs no
+    // extra exchange.
+    val fertile = o
+      .withColumn("od", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("od") >= 2)
+    val wedges = fertile.select(col("s"), col("t").as("t1"), col("dt").as("dt1"))
+      .join(fertile.select(col("s"), col("t").as("t2"), col("dt").as("dt2")), Seq("s"))
       .filter(col("dt1") < col("dt2") ||
         (col("dt1") === col("dt2") && col("t1") < col("t2")))
     val tri = wedges

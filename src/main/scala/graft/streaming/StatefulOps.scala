@@ -30,6 +30,11 @@ final case class CounterState(counts: Map[String, (Long, Long)], nextIdx: Long)
 /** One funnel input event (x8's streaming form). */
 final case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
 
+/** [[StatefulOps.funnelAligned]]'s state: the funnel's two longs plus the
+  * watermark-bounded pending buffer of not-yet-releasable events. */
+final case class FunnelBufState(
+    firstView: Long, firstClick: Long, pending: Seq[FunnelEvent])
+
 /** Per-user funnel progress; −1 = step not reached. */
 final case class FunnelState(firstView: Long, firstClick: Long)
 
@@ -178,6 +183,67 @@ object StatefulOps {
                 st = st.copy(firstClick = e.tsUs)
             }
           state.update(st)
+          (uid, st.firstView, st.firstClick)
+      }
+  }
+
+  /** [[funnel]] with the same-timestamp cross-batch caveat CLOSED — the
+    * opt-in watermark-aligned variant. Events are held in per-key pending
+    * state until the event-time watermark STRICTLY passes their timestamp
+    * (watermark semantics admit further events AT the watermark, so `<`
+    * not `≤`), then folded in one sorted slice — an equal-timestamp
+    * view/click pair split across micro-batches is re-united before the
+    * funnel transition sees either, converging to x8's batch `>=` answer
+    * regardless of how the feed batched them.
+    *
+    * The price is stated honestly: state is no longer two longs — each
+    * key buffers its in-flight window, BOUNDED by the watermark delay
+    * (`delay`, e.g. "10 seconds": at most that span of one user's events,
+    * evicted the batch after the watermark passes). That is the standard
+    * watermark-buffer bound every stream-stream join carries; feeds that
+    * guarantee same-batch equal-ts delivery should keep using [[funnel]]
+    * and its two-longs state. Input must still respect the watermark:
+    * Spark's late filter drops rows AT or below the current watermark
+    * before they reach this operator, so `delay` is the feed's entire
+    * disorder budget — it must strictly exceed the worst cross-batch
+    * spread of an equal-timestamp pair (delay=0 admits no disorder at
+    * all). An [[GroupStateTimeout.EventTimeTimeout]]
+    * re-invokes keys whose pending events' release time has passed even
+    * when the key receives no new events — without it a quiet key's
+    * buffer would never drain. Emits the post-release snapshot per
+    * invocation (update mode), exactly [[funnel]]'s contract. */
+  def funnelAligned(
+      ds: Dataset[FunnelEvent], delay: String = "0 seconds"): Dataset[(Long, Long, Long)] = {
+    implicit val outEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stateEnc: Encoder[FunnelBufState] = Encoders.product[FunnelBufState]
+    implicit val evEnc: Encoder[FunnelEvent] = Encoders.product[FunnelEvent]
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    ds.withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", delay)
+      .as[FunnelEvent]
+      .groupByKey(_.userId)(Encoders.scalaLong)
+      .mapGroupsWithState[FunnelBufState, (Long, Long, Long)](
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelBufState]) =>
+          var st = state.getOption.getOrElse(FunnelBufState(-1L, -1L, Seq.empty))
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, hold) = (st.pending ++ rows)
+            .partition(e => e.tsUs / 1000L < wmMs)
+          ready
+            .sortBy(e => (e.tsUs, if (e.eventType == "view") 0 else 1))
+            .foreach { e =>
+              if (e.eventType == "view" && st.firstView < 0)
+                st = st.copy(firstView = e.tsUs)
+              else if (e.eventType == "click" && st.firstView >= 0 &&
+                st.firstClick < 0 && e.tsUs >= st.firstView)
+                st = st.copy(firstClick = e.tsUs)
+            }
+          st = st.copy(pending = hold)
+          state.update(st)
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_.tsUs / 1000L).min + 1L, wmMs + 1L))
           (uid, st.firstView, st.firstClick)
       }
   }

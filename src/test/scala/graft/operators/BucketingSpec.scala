@@ -38,6 +38,20 @@ class BucketingSpec extends SparkSpec {
     try {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      // a killed previous JVM can orphan the managed-table locations with
+      // no catalog entry for DROP to clean — saveAsTable then refuses the
+      // existing dir, so sweep them explicitly
+      for (t <- Seq("b_orders", "b_lineitem")) {
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(loc)
+        }
+      }
       spark.read.parquet(s"$sfDir/orders.parquet")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("b_orders")
