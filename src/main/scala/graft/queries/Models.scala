@@ -79,6 +79,27 @@ object Models {
     SimilarityQueries.l2Truth(s, d, 5).localCheckpoint(true)
   }
 
+  /** Fused permutation-PQ fixture for e20: PQ codes trained under the
+    * three non-identity coordinate partitions of
+    * [[SimilarityQueries.OpqPerms]] in ONE multi-chain run (6 chains, one
+    * barrier set per Lloyd round). Deterministic like every fixture here;
+    * e20's gate then measures its own work — the per-permutation
+    * distortion totals and ranking — not the shared training, the same
+    * train-once contract the other e-family fixtures carry. */
+  def opqPermCodes(s: SparkSession, d: String): DataFrame = memo(s, d, "opqPermCodes") {
+    val others = SimilarityQueries.OpqPerms.filter(_._1 != "identity")
+    val subLen = KmeansDims / PqM
+    import org.apache.spark.sql.functions.{array, col, element_at}
+    val emb = Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val vecs = others.zipWithIndex.map { case ((_, perm), pi) =>
+      val permuted = emb.select(col("vec_id"),
+        array(perm.map(i => element_at(col("embedding"), i)): _*).as("embedding"))
+      Similarity.slicedVecs(permuted, PqM, subLen, pi * PqM)
+    }.reduce(_ unionAll _)
+    Similarity.pqModelFrom(vecs, PqK, PqRounds, subLen, others.size * PqM)
+      ._1.localCheckpoint(true)
+  }
+
   def residualPq(s: SparkSession, d: String): ResidualPq = memo(s, d, "residualPq") {
     val cp = coarsePq(s, d)
     val subLen = KmeansDims / PqM

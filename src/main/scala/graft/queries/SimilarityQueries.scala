@@ -501,10 +501,12 @@ object SimilarityQueries {
     * reconstruction error. One row per candidate with `beats_identity`
     * (direction flag, e16's pattern — measured, not asserted) and
     * `is_best`. The three non-identity candidates train FUSED (6 chains,
-    * one barrier set per round); identity's error comes from the session
-    * fixture's raw PQ codes — the same arithmetic as its own chain. A
-    * production OPQ-lite would pick `is_best` and store the winning
-    * permutation with the codebooks (one extra int per dim).
+    * one barrier set per round) through the session model cache
+    * ([[Models.opqPermCodes]] — train-once, like every e-family
+    * fixture); identity's error comes from the session fixture's raw PQ
+    * codes — the same arithmetic as its own chain. A production OPQ-lite
+    * would pick `is_best` and store the winning permutation with the
+    * codebooks (one extra int per dim).
     *
     * Measured on the synthetic corpus (sf0.01): identity wins — the
     * embeddings are isotropic, so no coordinate partition finds structure
@@ -512,18 +514,9 @@ object SimilarityQueries {
     * real embeddings with correlated blocks the dial turns; the gate pins
     * the MEASUREMENT machinery, not a foregone winner. */
   def e20OpqPermute(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Similarity.{pqModelFrom, slicedVecs}
-    val subLen = KmeansDims / PqM
     val idCodes = Models.coarsePq(s, d).codes
-    val par = s.sparkContext.defaultParallelism
-    val emb = Tables.embeddings(s, d).repartition(par)
     val others = OpqPerms.filter(_._1 != "identity")
-    val vecs = others.zipWithIndex.map { case ((_, perm), pi) =>
-      val permuted = emb.select(col("vec_id"),
-        array(perm.map(i => element_at(col("embedding"), i)): _*).as("embedding"))
-      slicedVecs(permuted, PqM, subLen, pi * PqM)
-    }.reduce(_ unionAll _)
-    val codes = pqModelFrom(vecs, PqK, PqRounds, subLen, others.size * PqM)._1
+    val codes = Models.opqPermCodes(s, d)
     def total(c: DataFrame, permName: String): DataFrame =
       c.select(graft.operators.Relational.round4(col("sq"))
         .cast("decimal(18,4)").as("sqr"))
