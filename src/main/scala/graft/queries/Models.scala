@@ -79,6 +79,17 @@ object Models {
     SimilarityQueries.l2Truth(s, d, 5).localCheckpoint(true)
   }
 
+  /** m=4 PQ fixture — e19's finer-geometry comparison arm (the session's
+    * standard geometry is m=2, held in [[coarsePq]]). Train-once like
+    * every fixture here; e19 then measures the recall evaluation itself. */
+  final case class PqM4(codes: DataFrame, books: DataFrame)
+
+  def pqM4(s: SparkSession, d: String): PqM4 = memo(s, d, "pqM4") {
+    val (codes, books) = Similarity.pqModel(
+      Tables.embeddings(s, d), 4, PqK, PqRounds, KmeansDims)
+    PqM4(codes.localCheckpoint(true), books.localCheckpoint(true))
+  }
+
   /** Fused permutation-PQ fixture for e20: PQ codes trained under the
     * three non-identity coordinate partitions of
     * [[SimilarityQueries.OpqPerms]] in ONE multi-chain run (6 chains, one

@@ -451,16 +451,18 @@ object SimilarityQueries {
     * loses. The oracle replays both geometries and must land on the same
     * means and the same flag. */
   def e19PqDial(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Similarity.{pqAdcSearch, pqAdcSearchFrom}
+    import graft.operators.Similarity.pqAdcSearchFrom
     val truth = Models.l2Truth5(s, d)
-    // m=2 is the session fixture's geometry; m=4 is this gate's own
-    // comparison arm and trains in-plan (no other consumer)
+    // m=2 is the session fixture's standard geometry; m=4 is the finer
+    // comparison arm, its own train-once fixture ([[Models.pqM4]])
     def search(m: Int): DataFrame =
       if (m == PqM) {
         val cp = Models.coarsePq(s, d)
         pqAdcSearchFrom(cp.codes, cp.books, queriesSide(s, d), PqM, KmeansDims / PqM, 5)
-      } else pqAdcSearch(Tables.embeddings(s, d), queriesSide(s, d),
-        m, PqK, PqRounds, KmeansDims, 5)
+      } else {
+        val p4 = Models.pqM4(s, d)
+        pqAdcSearchFrom(p4.codes, p4.books, queriesSide(s, d), m, KmeansDims / m, 5)
+      }
     def meanRecall(m: Int): DataFrame =
       truth
         .join(broadcast(

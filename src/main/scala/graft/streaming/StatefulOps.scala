@@ -159,7 +159,9 @@ object StatefulOps {
     * source until the watermark passes the timestamp. Buffering inside
     * this operator would trade its two-longs-per-user state for a per-key
     * event queue — the bounded-state property is the point, so the
-    * contract stays at the feed.
+    * contract stays at the feed. Feeds that cannot honor it should use
+    * [[funnelAligned]], which buys the buffer (watermark-bounded) and
+    * closes the caveat.
     *
     * Emits each touched user's current (firstView, firstClick) per batch;
     * −1 = step not reached. Decisions are FINAL under in-order delivery,
