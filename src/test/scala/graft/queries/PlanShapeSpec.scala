@@ -23,6 +23,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("l_comment"), "ReadSchema carries an unused column")
   }
 
+  test("the events ts-normalization layer does not block column pruning") {
+    // Tables.events projects ts -> epoch-micros on every read; a query
+    // that never touches ts must still get a scan with NO ts column —
+    // losing this means every events query at 100 TB drags the widest
+    // column through the scan for nothing
+    val p = plan("a6_distinct_users")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("ts"), s"unused ts survived into the events scan: $read")
+    assert(read.contains("user_id") && read.contains("event_type"),
+      s"expected a pruned 2-column events scan: $read")
+  }
+
   test("multiway join broadcasts its dimension sides and never goes cartesian") {
     val p = plan("j_multiway_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension joins should broadcast")
