@@ -95,7 +95,12 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val us = df.schema("ts").dataType match {
       case LongType          => expr("ts div 1000")
-      case TimestampNTZType  => unix_micros(col("ts").cast(TimestampType))
+      case TimestampNTZType  =>
+        // the NTZ→LTZ cast goes through the session timezone; anything but
+        // UTC would silently shift every timestamp by the zone offset
+        require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: session timeZone must be UTC for an exact micros read")
+        unix_micros(col("ts").cast(TimestampType))
       case TimestampType     => unix_micros(col("ts"))
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")

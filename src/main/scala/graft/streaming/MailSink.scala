@@ -68,6 +68,9 @@ object Mail {
       hardFailBucket: Int = -1,
       sleepBucket: Int = 6,
       sleepMs: Long = 1000L) extends Transport {
+    // per-task-instance first-attempt memory for the transient branch; a
+    // simulation double, so the unbounded set is fine — a real flaky
+    // transport owns no such state (the writer's retry loop is the seam)
     private val attempted = scala.collection.mutable.HashSet[String]()
     override def send(m: Message): Unit = {
       val key = m.to + "|" + m.subject
