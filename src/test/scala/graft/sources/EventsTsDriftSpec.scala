@@ -52,6 +52,26 @@ class EventsTsDriftSpec extends SparkSpec {
     }
   }
 
+  test("property: arbitrary epoch-micros survive every encoding unchanged") {
+    // randomized twin of the fixture test: any µs value a generator could
+    // emit (1970..2200, including sub-ms tails and exact-second values)
+    // must round-trip identically through all three physical encodings
+    val gen = new scala.util.Random(20260813L)
+    val us = Seq.fill(200)(math.abs(gen.nextLong()) % 7258118400000000L) // < year 2200
+    val base = us.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val asNs = base.map { case (i, u) => (i, u * 1000L) }.toDF("event_id", "ts")
+    val asNtz = base.toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").cast(TimestampNTZType).as("ts"))
+    val asLtz = base.toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").as("ts"))
+    val expected = base.toMap
+    for (df <- Seq(asNs, asNtz, asLtz)) {
+      val got = Tables.tsToMicros(df)
+        .select($"event_id", $"ts").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"divergence under ${df.schema("ts").dataType}")
+    }
+  }
+
   test("the live testdata events table normalizes to plausible int64 micros") {
     // whatever the current generator ships, Tables.events must come back
     // with ts as LongType micros in a sane epoch range (2020..2040)
