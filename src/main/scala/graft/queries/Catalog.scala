@@ -8,10 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Oracle-matching rules (kept in lockstep with the Spark implementations):
   *   - aggregates of 2-dp doubles go through DECIMAL(18,2) on both engines
   *     (exact, order-independent), final cast to DOUBLE;
-  *   - `events.ts` (parquet timestamp[ns]) is read by Spark as int64 nanos
-  *     and by DuckDB as µs-truncated TIMESTAMP; all uses go through
-  *     Tables.events normalizes `ts` to int64 epoch-micros ≡ DuckDB's
-  *     `epoch_us(ts)` so both sides agree exactly;
+  *   - `events.ts`'s physical parquet type has drifted between rounds
+  *     (timestamp[ns], then timestamp[us]); Tables.events normalizes
+  *     either to int64 epoch-micros ≡ DuckDB's `epoch_us(ts)` so both
+  *     sides agree exactly whatever the generator shipped;
   *   - window ranks are CAST(... AS INT) in SQL to match Spark's
   *     IntegerType row_number;
   *   - list/array hashing is md5-based (engine-independent), never the
