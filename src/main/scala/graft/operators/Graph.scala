@@ -61,22 +61,31 @@ object Graph {
     var converged = false
     var iter = 0
     try {
-      while (!converged && iter < maxIter) {
-        // min label among each node's neighbors...
-        val neighborMin = sym
-          .join(labels, sym("id1") === labels("id"))
+      // one propagation step: every node takes the min label among itself
+      // and its neighbors; extra columns (`prev`) ride along untouched
+      def step(lbl: DataFrame): DataFrame = {
+        val nm = sym
+          .join(lbl.select(col("id").as("nbr"), col("comp").as("ncomp")),
+            sym("id1") === col("nbr"))
           .groupBy(sym("id2").as("id"))
-          .agg(min(col("comp")).as("nmin"))
-        // ...folded with the node's own label; the round's ONLY job is the
-        // eager localCheckpoint, and the CollectMetrics node it executes
-        // through carries the convergence signal out as an observed metric
+          .agg(min(col("ncomp")).as("nmin"))
+        lbl.join(nm, Seq("id"), "left")
+          .withColumn("comp", least(col("comp"), coalesce(col("nmin"), col("comp"))))
+          .drop("nmin")
+      }
+      while (!converged && iter < maxIter) {
+        // TWO propagation steps share one materialization barrier: the
+        // dominant per-round cost at any scale is the checkpoint + job
+        // submission, not the tiny-label joins, so fusing steps halves the
+        // barrier chain while lineage depth stays bounded (2 joins per
+        // checkpoint). Convergence reads the fused round's net effect —
+        // if two steps changed nothing, one step would not have either
+        // (labels are monotone non-increasing). The round's ONLY job is
+        // the eager localCheckpoint, and the CollectMetrics node it
+        // executes through carries the signal out as an observed metric.
         val obs = Observation(s"cc_changed_$iter")
-        val next = labels.as("l")
-          .join(neighborMin.as("n"), Seq("id"), "left")
-          .select(col("id"),
-            least(col("l.comp"), coalesce(col("n.nmin"), col("l.comp"))).as("comp"),
-            (coalesce(col("n.nmin"), col("l.comp")) < col("l.comp"))
-              .cast("long").as("chg"))
+        val next = step(step(labels.withColumn("prev", col("comp"))))
+          .withColumn("chg", (col("comp") < col("prev")).cast("long"))
           .observe(obs, sum(col("chg")).as("changed"))
           .select(col("id"), col("comp"))
           .localCheckpoint(true)
