@@ -58,7 +58,8 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // best-of-2 per query: this host shows bursty hypervisor CPU steal
+    // best-of-N per query (SPARK_GRAFT_REPS, default 3): this host shows
+    // bursty hypervisor CPU steal
     // (/proc/pressure/cpu avg10 up to 26% with idle guest CPU), which can
     // make any single sample read 30-60x slow; the minimum of two runs
     // measures the engine, not the noise

@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * [[TextOps.canonicalDocs]] uses for byte-identical docs).
   *
   * Algorithm: min-label propagation. Every node starts as its own label;
-  * each round, every node takes the minimum label among itself and its
-  * neighbors; fixpoint when no label changes. Rounds = graph diameter —
+  * each step, every node takes the minimum label among itself and its
+  * neighbors; fixpoint when no label changes. Steps = graph diameter —
   * near-dup graphs are unions of near-cliques (diameter 2-3), so this
-  * converges in a handful of rounds. Each round is ONE job: the label
-  * projection carries a `chg` flag whose sum is read through `observe()`
-  * (a CollectMetrics node evaluated as a side effect of the round's
-  * materializing localCheckpoint — no separate convergence-count job).
+  * converges in a handful of steps, and TWO steps share each
+  * materialization barrier (the per-round fixed cost). Each fused round
+  * is ONE job: the label projection carries a `chg` flag whose sum is
+  * read through `observe()` (a CollectMetrics node evaluated as a side
+  * effect of the round's materializing localCheckpoint — no separate
+  * convergence-count job).
   * Fully distributed; nothing driver-side except the observed metric.
   *
   * If `maxIter` rounds don't converge (diameter exceeds the bound — chains,
@@ -41,8 +43,8 @@ object Graph {
 
   /** (id, comp) per node of the undirected edge list `edges` (columns
     * `id1`, `id2`); `comp` = min node id reachable. `maxIter` bounds the
-    * min-label rounds; past the bound the diameter-independent star
-    * contraction finishes the job instead. */
+    * min-label propagation STEPS (a fused round burns two); past the
+    * bound the diameter-independent star contraction finishes instead. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     // persist (CacheManager-backed, so the explicit unpersist below works;
     // its lineage is one union deep — no truncation needed)
@@ -91,7 +93,8 @@ object Graph {
           .localCheckpoint(true)
         labels = next // previous round's reference dropped → ContextCleaner
         converged = obs.get("changed").asInstanceOf[Long] == 0L
-        iter += 1
+        iter += 2 // two propagation steps per fused round: maxIter budgets
+                  // STEPS, so fusing must not double the budget
       }
     } finally sym.unpersist() // incl. mid-round failures: don't pin 2|E| rows
     if (converged) labels

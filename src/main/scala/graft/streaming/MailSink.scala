@@ -104,12 +104,14 @@ object Mail {
       val m = confirmationEmail(c)
       var attempt = 0
       var done = false
+      // NonFatal only: an InterruptedException from task cancellation (or
+      // any fatal error) must abort the task, not count as a mail failure
       while (!done && attempt < maxAttempts) {
         attempt += 1
         try { transport.send(m); done = true; sent.add(1) }
         catch {
-          case _: Exception if attempt < maxAttempts => retried.add(1)
-          case _: Exception => failed.add(1)
+          case scala.util.control.NonFatal(_) if attempt < maxAttempts => retried.add(1)
+          case scala.util.control.NonFatal(_) => failed.add(1)
         }
       }
     }

@@ -167,6 +167,23 @@ object StatefulOps {
     * −1 = step not reached. Decisions are FINAL under in-order delivery,
     * so state is two longs per user — the bounded-state property funnel
     * analysis loses the moment order is not guaranteed. */
+  /** The funnel transition both [[funnel]] and [[funnelAligned]] fold:
+    * first view wins; first click AT OR AFTER the first view wins (x8's
+    * batch `>=` comparison). Kept in ONE place so the two operators can
+    * never drift apart on the semantics. */
+  private def foldFunnelEvent(st: FunnelState, e: FunnelEvent): FunnelState =
+    if (e.eventType == "view" && st.firstView < 0)
+      st.copy(firstView = e.tsUs)
+    else if (e.eventType == "click" && st.firstView >= 0 &&
+      st.firstClick < 0 && e.tsUs >= st.firstView)
+      st.copy(firstClick = e.tsUs)
+    else st
+
+  /** The slice order both funnel operators use: event time, views before
+    * clicks on ties (so an equal-timestamp click still converts). */
+  private def funnelOrder(e: FunnelEvent): (Long, Int) =
+    (e.tsUs, if (e.eventType == "view") 0 else 1)
+
   def funnel(ds: Dataset[FunnelEvent]): Dataset[(Long, Long, Long)] = {
     implicit val outEnc: Encoder[(Long, Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
@@ -175,15 +192,7 @@ object StatefulOps {
       .mapGroupsWithState[FunnelState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
-          rows.toSeq
-            .sortBy(e => (e.tsUs, if (e.eventType == "view") 0 else 1))
-            .foreach { e =>
-              if (e.eventType == "view" && st.firstView < 0)
-                st = st.copy(firstView = e.tsUs)
-              else if (e.eventType == "click" && st.firstView >= 0 &&
-                st.firstClick < 0 && e.tsUs >= st.firstView)
-                st = st.copy(firstClick = e.tsUs)
-            }
+          rows.toSeq.sortBy(funnelOrder).foreach(e => st = foldFunnelEvent(st, e))
           state.update(st)
           (uid, st.firstView, st.firstClick)
       }
@@ -232,16 +241,9 @@ object StatefulOps {
           val wmMs = state.getCurrentWatermarkMs()
           val (ready, hold) = (st.pending ++ rows)
             .partition(e => e.tsUs / 1000L < wmMs)
-          ready
-            .sortBy(e => (e.tsUs, if (e.eventType == "view") 0 else 1))
-            .foreach { e =>
-              if (e.eventType == "view" && st.firstView < 0)
-                st = st.copy(firstView = e.tsUs)
-              else if (e.eventType == "click" && st.firstView >= 0 &&
-                st.firstClick < 0 && e.tsUs >= st.firstView)
-                st = st.copy(firstClick = e.tsUs)
-            }
-          st = st.copy(pending = hold)
+          var core = FunnelState(st.firstView, st.firstClick)
+          ready.sortBy(funnelOrder).foreach(e => core = foldFunnelEvent(core, e))
+          st = FunnelBufState(core.firstView, core.firstClick, hold)
           state.update(st)
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(

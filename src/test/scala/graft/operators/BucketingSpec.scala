@@ -46,7 +46,9 @@ class BucketingSpec extends SparkSpec {
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
         if (loc.exists()) {
           def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
+            // listFiles is null on a dir deleted mid-sweep by another JVM
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
             f.delete(); ()
           }
           rm(loc)

@@ -19,13 +19,16 @@ def main() -> int:
     prior = {} if sys.argv[2] == "-" else json.load(open(sys.argv[2]))["queries"]
     runs = [json.load(open(p)) for p in sys.argv[3:]]
     meta = runs[-1]
+    # Bench already omits a run's OWN failed queries from its queries map,
+    # so every timing present is a genuine measurement — merge them all.
+    # A query that failed in one run but passed in another keeps the
+    # passing run's timing AND is named below so the flake is visible.
     failed = sorted(set(sum((r.get("failed", []) for r in runs), [])))
     qs = {}
     for r in runs:
         for k, v in r["queries"].items():
-            if k in failed:  # fail-fast timings are noise, not measurements
-                continue
             qs[k] = min(v, qs[k]) if k in qs else v
+    never_measured = [k for k in failed if k not in qs]
     total = sum(qs.values())
     lines = [
         f"# BENCH_SUMMARY — round {rnd}",
@@ -35,7 +38,7 @@ def main() -> int:
         f"sf dir `{meta.get('sf')}` (min-of-runs because this host shows "
         f"bursty hypervisor CPU steal; see Bench.scala). Total "
         f"**{total:.1f} s** over **{len(qs)} queries**; "
-        f"failed (excluded from total and table): {failed}.",
+        f"failed in at least one run: {failed}; never measured (excluded): {never_measured}.",
         "",
     ]
     if prior:
