@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * representative per group (reference semantics: same min-id convention as
   * [[TextOps.canonicalDocs]] uses for byte-identical docs).
   *
-  * Algorithm: min-label propagation. Every node starts as its own label;
-  * each step, every node takes the minimum label among itself and its
-  * neighbors; fixpoint when no label changes. Steps = graph diameter —
+  * Algorithm: min-label propagation. Every node starts at
+  * min(own id, min neighbor id) — the node-set dedup is a groupBy-min
+  * instead of a distinct, so the first propagation step rides the
+  * initialization shuffle for free; each subsequent step, every node
+  * takes the minimum label among itself and its neighbors; fixpoint when
+  * no label changes. Steps = graph diameter —
   * near-dup graphs are unions of near-cliques (diameter 2-3), so this
   * converges in a handful of steps, and TWO steps share each
   * materialization barrier (the per-round fixed cost). Each fused round
@@ -19,7 +22,11 @@ import org.apache.spark.sql.functions._
   * read through `observe()` (a CollectMetrics node evaluated as a side
   * effect of the round's materializing localCheckpoint — no separate
   * convergence-count job).
-  * Fully distributed; nothing driver-side except the observed metric.
+  * Fully distributed; nothing driver-side except the observed metric —
+  * and below a size threshold the whole iteration collapses to a
+  * single-task executor-side union-find (see [[connectedComponents]]),
+  * because a barrier chain is the wrong tool for an edge list that fits
+  * one task.
   *
   * If `maxIter` rounds don't converge (diameter exceeds the bound — chains,
   * not the dedup shape), the operator AUTO-SWITCHES to
@@ -44,61 +51,131 @@ object Graph {
   /** (id, comp) per node of the undirected edge list `edges` (columns
     * `id1`, `id2`); `comp` = min node id reachable. `maxIter` bounds the
     * min-label propagation STEPS (a fused round burns two); past the
-    * bound the diameter-independent star contraction finishes instead. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // persist (CacheManager-backed, so the explicit unpersist below works;
-    // its lineage is one union deep — no truncation needed)
-    val sym = edges.select(col("id1"), col("id2"))
-      .union(edges.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist()
+    * bound the diameter-independent star contraction finishes instead.
+    *
+    * SMALL-GRAPH FAST PATH: when the materialized edge list has at most
+    * `localMaxEdges` rows and long-typed ids, the labels come from a
+    * single-task union-find ([[unionFindLocal]]) instead of the
+    * iteration — identical output (min-id labels are a pure function of
+    * connectivity), ONE job instead of a checkpoint-barrier chain. This
+    * is the broadcast-threshold pattern applied to an iterative
+    * operator: a dedup pair list is bounded by duplicate mass, not
+    * corpus size, so in practice even large corpora produce edge lists
+    * that fit one task — and when one doesn't (the 100 TB case this
+    * operator is shaped for), the size check routes it to the
+    * distributed iteration unchanged. The check itself is free: the
+    * edge list must be materialized anyway (every round reads it), so
+    * counting it costs one metadata pass over checkpointed blocks. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      localMaxEdges: Long = 4L << 20): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    // ONE materialization of the caller's pair pipeline (often expensive:
+    // LSH verify joins, salted cosine self-joins); every consumer below —
+    // fast path, iteration rounds, star fallback — reads these blocks.
+    val e0 = edges.select(col("id1"), col("id2")).localCheckpoint(true)
+    val longIds = e0.schema("id1").dataType == LongType &&
+      e0.schema("id2").dataType == LongType
+    if (longIds && e0.count() <= localMaxEdges) return unionFindLocal(e0)
+    val sym = e0
+      .union(e0.select(col("id2").as("id1"), col("id1").as("id2")))
     // per-round labels use eager localCheckpoint: materialize AND cut
     // lineage (see scaladoc). Dataset.unpersist is a no-op for
     // checkpointed frames (their blocks belong to an internal RDD, not the
     // CacheManager); dropping each round's reference lets ContextCleaner
     // reclaim its blocks after driver GC — bounded by GC cadence, not
     // session lifetime.
-    var labels = sym.select(col("id1").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    //
+    // SEEDED start: the node set needs a dedup shuffle anyway, and a
+    // groupBy-min over the same keys costs the same shuffle as distinct —
+    // so the initial labeling takes one propagation step FOR FREE
+    // (comp = min(id, min neighbor) instead of comp = id). On the
+    // near-clique graphs dedup produces (diameter 2-3) this is a third
+    // to half of the steps, i.e. one fewer fused round + checkpoint
+    // barrier — the dominant per-round cost.
+    var labels = sym.groupBy(col("id1").as("id"))
+      .agg(min(col("id2")).as("__nmin"))
+      .select(col("id"), least(col("id"), col("__nmin")).as("comp"))
       .localCheckpoint(true)
     var converged = false
-    var iter = 0
-    try {
-      // one propagation step: every node takes the min label among itself
-      // and its neighbors; extra columns (`prev`) ride along untouched
-      def step(lbl: DataFrame): DataFrame = {
-        val nm = sym
-          .join(lbl.select(col("id").as("nbr"), col("comp").as("ncomp")),
-            sym("id1") === col("nbr"))
-          .groupBy(sym("id2").as("id"))
-          .agg(min(col("ncomp")).as("nmin"))
-        lbl.join(nm, Seq("id"), "left")
-          .withColumn("comp", least(col("comp"), coalesce(col("nmin"), col("comp"))))
-          .drop("nmin")
-      }
-      while (!converged && iter < maxIter) {
-        // TWO propagation steps share one materialization barrier: the
-        // dominant per-round cost at any scale is the checkpoint + job
-        // submission, not the tiny-label joins, so fusing steps halves the
-        // barrier chain while lineage depth stays bounded (2 joins per
-        // checkpoint). Convergence reads the fused round's net effect —
-        // if two steps changed nothing, one step would not have either
-        // (labels are monotone non-increasing). The round's ONLY job is
-        // the eager localCheckpoint, and the CollectMetrics node it
-        // executes through carries the signal out as an observed metric.
-        val obs = Observation(s"cc_changed_$iter")
-        val next = step(step(labels.withColumn("prev", col("comp"))))
-          .withColumn("chg", (col("comp") < col("prev")).cast("long"))
-          .observe(obs, sum(col("chg")).as("changed"))
-          .select(col("id"), col("comp"))
-          .localCheckpoint(true)
-        labels = next // previous round's reference dropped → ContextCleaner
-        converged = obs.get("changed").asInstanceOf[Long] == 0L
-        iter += 2 // two propagation steps per fused round: maxIter budgets
-                  // STEPS, so fusing must not double the budget
-      }
-    } finally sym.unpersist() // incl. mid-round failures: don't pin 2|E| rows
+    var iter = 1 // the seed consumed one of maxIter's STEPS
+    // one propagation step: every node takes the min label among itself
+    // and its neighbors; extra columns (`prev`) ride along untouched
+    def step(lbl: DataFrame): DataFrame = {
+      val nm = sym
+        .join(lbl.select(col("id").as("nbr"), col("comp").as("ncomp")),
+          sym("id1") === col("nbr"))
+        .groupBy(sym("id2").as("id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      lbl.join(nm, Seq("id"), "left")
+        .withColumn("comp", least(col("comp"), coalesce(col("nmin"), col("comp"))))
+        .drop("nmin")
+    }
+    while (!converged && iter < maxIter) {
+      // TWO propagation steps share one materialization barrier: the
+      // dominant per-round cost at any scale is the checkpoint + job
+      // submission, not the tiny-label joins, so fusing steps halves the
+      // barrier chain while lineage depth stays bounded (2 joins per
+      // checkpoint). Convergence reads the fused round's net effect —
+      // if two steps changed nothing, one step would not have either
+      // (labels are monotone non-increasing). The round's ONLY job is
+      // the eager localCheckpoint, and the CollectMetrics node it
+      // executes through carries the signal out as an observed metric.
+      val obs = Observation(s"cc_changed_$iter")
+      val next = step(step(labels.withColumn("prev", col("comp"))))
+        .withColumn("chg", (col("comp") < col("prev")).cast("long"))
+        .observe(obs, sum(col("chg")).as("changed"))
+        .select(col("id"), col("comp"))
+        .localCheckpoint(true)
+      labels = next // previous round's reference dropped → ContextCleaner
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      iter += 2 // two propagation steps per fused round: maxIter budgets
+                // STEPS, so fusing must not double the budget
+    }
     if (converged) labels
-    else starContractComponents(edges) // adversarial diameter: O(log²n) rounds
+    else starContractComponents(e0) // adversarial diameter: O(log²n) rounds
+  }
+
+  /** Single-task exact connected components for SMALL materialized edge
+    * lists — the fast path [[connectedComponents]] takes below its
+    * `localMaxEdges` threshold. Classic union-find with path halving and
+    * min-id roots: union always links the larger root under the smaller,
+    * so every tree's root is its component's minimum id and the final
+    * labeling is a pure function of connectivity — byte-identical to what
+    * the distributed iteration produces, independent of edge order. Runs
+    * as ONE `mapPartitions` task over the coalesced edge list (executor-
+    * side, not a driver collect; with the default 4M-edge bound the
+    * LongMap peaks well under a gigabyte). This and the multimodal
+    * decoder are the repo's only mapPartitions — both cases where
+    * per-partition imperative state is the honest formulation. */
+  private[operators] def unionFindLocal(e0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val out = e0
+      .select(col("id1").as("_1"), col("id2").as("_2")).as(tup)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) { // path halving keeps trees near-flat
+            val gp = parent.getOrElse(p, p)
+            parent.update(x, gp)
+            x = gp
+            p = parent.getOrElse(x, x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent.update(a, a)
+          if (!parent.contains(b)) parent.update(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.update(rb, ra)
+          else if (rb < ra) parent.update(ra, rb)
+        }
+        parent.keys.toArray.iterator.map(k => (k, find(k)))
+      }(tup)
+    out.toDF("id", "comp")
   }
 
   /** Connected components by alternating large-star/small-star contraction
@@ -251,55 +328,67 @@ object Graph {
     * checks. Uses DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii,
     * "Counting Triangles and the Curse of the Last Reducer", WWW '11):
     * orient every edge toward its (degree, id)-larger endpoint; each
-    * triangle then has exactly ONE node with both edges outgoing, so the
-    * wedge join emits every triangle once — and out-degrees are bounded
-    * by √(2m), which is what stops a hub node from exploding the
-    * neighbor-pair join (the naive formulation's sum-of-deg² blowup, the
-    * paper's "last reducer"). Plan: one degree aggregate
-    * (node-cardinality), two joins to decorate edges with endpoint
-    * degrees, one s-keyed self-join whose per-key fan-out is the BOUNDED
-    * out-degree, one (t1, t2)-keyed LeftSemi against the oriented edges
-    * to close wedges. The wedge denominator for the coefficient — Σ
-    * deg·(deg−1)/2 — reads straight off the degree aggregate; nothing in
-    * the plan materializes unoriented neighbor pairs.
+    * triangle then has exactly ONE node with both edges outgoing, and
+    * out-degrees are bounded by √(2m), which is what stops a hub node
+    * from exploding the per-key work (the naive formulation's
+    * sum-of-deg² blowup, the paper's "last reducer").
+    *
+    * Closing form: the EDGE-ITERATOR over out-adjacency sets — each
+    * triangle {a,b,c} oriented a→b, a→c, b→c is found exactly once, as
+    * c ∈ N⁺(a) ∩ N⁺(b) on its unique both-edges-outgoing pivot edge
+    * (a,b); so n_triangles = Σ over oriented edges of
+    * |N⁺(s) ∩ N⁺(t)|. Plan: one degree aggregate (node-cardinality),
+    * two joins to decorate edges with endpoint degrees, ONE groupBy
+    * collecting each source's out-neighbors into a sorted array
+    * (bounded by √(2m) elements), two equi-joins decorating every edge
+    * with both endpoints' arrays, and a per-row array intersection —
+    * no wedge set is ever materialized and no (t1, t2)-keyed shuffle
+    * exists, which is what the previous wedge-join + LeftSemi
+    * formulation paid for. Sources with out-degree 1 can't pivot a
+    * triangle (N⁺ is a singleton that can't contain the co-endpoint),
+    * so they're pruned by array size right off the adjacency join —
+    * the prune is free, where the old shape needed a window count.
+    * The wedge denominator for the coefficient — Σ deg·(deg−1)/2 —
+    * reads straight off the degree aggregate; nothing in the plan
+    * materializes unoriented neighbor pairs.
     *
     * Output: one row — n_nodes, n_edges, n_wedges, n_triangles,
     * gcc = round4(3·triangles / wedges) (null on a wedge-free graph). */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("n"))
-      .union(edges.select(col("v").as("n")))
+    // the edge list is read by FOUR plan branches (degree union ×2, the
+    // orientation join, the edge-count stat) — materialize it once, or
+    // every branch re-executes the caller's edge-building pipeline (for
+    // x14 that pipeline is a fact-scale self-join worth 2 s at sf0.1,
+    // and exchange reuse does not span all the branch shapes). The
+    // materialized frame is |E| rows of two ids — the aggregated entity
+    // graph, tiny next to the facts that produced it at any scale.
+    val ec = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val deg = ec.select(col("u").as("n"))
+      .union(ec.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val e = edges
+    val e = ec
       .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val o = e.select(
       when(uFirst, col("u")).otherwise(col("v")).as("s"),
-      when(uFirst, col("v")).otherwise(col("u")).as("t"),
-      when(uFirst, col("dv")).otherwise(col("du")).as("dt"))
-      .localCheckpoint(true) // read by 3 plan branches below
-    // a source with out-degree < 2 can't head a wedge, and (empirically,
-    // on a degree-ordered orientation) MOST sources have out-degree 1 —
-    // dropping them up front shrinks BOTH sides of the wedge self-join
-    // without touching the result. The window count shuffles on s, the
-    // exact partitioning the self-join needs, so the prune costs no
-    // extra exchange.
-    val fertile = o
-      .withColumn("od", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("od") >= 2)
-    val wedges = fertile.select(col("s"), col("t").as("t1"), col("dt").as("dt1"))
-      .join(fertile.select(col("s"), col("t").as("t2"), col("dt").as("dt2")), Seq("s"))
-      .filter(col("dt1") < col("dt2") ||
-        (col("dt1") === col("dt2") && col("t1") < col("t2")))
-    val tri = wedges
-      .join(o.select(col("s").as("t1"), col("t").as("t2")),
-        Seq("t1", "t2"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      when(uFirst, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(true) // read by the adjacency build AND the edge side
+    // sorted out-adjacency per source; arrays are √(2m)-bounded by the
+    // orientation, so collect_list can never explode a partition
+    val adj = o.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nb"))
+    val tri = o
+      .join(adj.select(col("s"), col("nb").as("nb_s")), Seq("s"))
+      .filter(size(col("nb_s")) >= 2) // out-degree-1 sources can't pivot
+      .join(adj.select(col("s").as("t"), col("nb").as("nb_t")), Seq("t"))
+      .select(size(array_intersect(col("nb_s"), col("nb_t"))).as("c"))
+      .agg(sum(col("c")).cast("long").as("n_triangles"))
+      .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(deg * (deg - 1) div 2)").cast("long").as("n_wedges"))
-    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    val edgeStats = ec.agg(count(lit(1)).as("n_edges"))
     nodeStats.crossJoin(edgeStats).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),

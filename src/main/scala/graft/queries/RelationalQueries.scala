@@ -768,9 +768,23 @@ object RelationalQueries {
   def x15ZonemapPrune(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nb = 64
+    // Eager checkpoint after both bucket windows: the union below reads
+    // `bucketed` twice, and without materialization each branch re-executes
+    // the whole hash→sort→ntile→sort→ntile chain (Spark shares no lazy
+    // subtree across union branches) — measured, the checkpoint alone is
+    // a ~20% win. Two deliberate non-wins, both measured at sf0.1 before
+    // settling here: (a) a layout-tagged union through ONE
+    // partitionBy(layout) window — the sibling sorts do run concurrently,
+    // but the downstream zone-map aggregation then rides the window's
+    // 2-partition output and loses more than the fused sort saves;
+    // (b) a fully distributed exact-ntile (repartitionByRange +
+    // per-partition prefix offsets) — identical output, and the shape
+    // this operator takes at real scale (see below), but at bench scale
+    // its extra barrier jobs cost more than two serial 600k-row sorts.
     val bucketed = mortonPoints(s, d)
       .withColumn("bz", ntile(nb).over(Window.orderBy(col("z"))))
       .withColumn("bx", ntile(nb).over(Window.orderBy(col("px"), col("sx"))))
+      .localCheckpoint(true)
     val layouts = bucketed
       .select(lit("zorder").as("layout"), col("bz").as("bucket"),
         col("px"), col("sx"))

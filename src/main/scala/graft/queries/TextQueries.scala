@@ -19,40 +19,44 @@ object TextQueries {
       .select(col("fp"), col("canonical_id"), col("dup_count"))
       .orderBy(col("fp"))
 
-  /** MinHash-LSH candidate pairs over 3-token shingles. */
+  /** MinHash-LSH candidate pairs over 3-token shingles — banded off the
+    * session shingle fixture ([[Dedup.shingles]]), the same one-pass
+    * frame the verified-pair pipeline reads. */
   def d2MinhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashCandidates(Tables.documents(s, d), "doc_id", "text")
+    candidatesFromBands(bandsFromShingles(Dedup.shingles(s, d), 16, 4))
       .orderBy(col("id1"), col("id2"))
 
   /** Near-duplicate pairs: LSH candidates verified with exact shingle
     * Jaccard ≥ 0.8. The LSH prefilter is what keeps this sub-quadratic at
-    * scale — the exact check only runs on the candidate set. */
+    * scale — the exact check only runs on the candidate set. Reads the
+    * session pair fixture ([[Dedup.verifiedPairs]]) and pays only its own
+    * rounding + presentation sort. */
   def d3JaccardDupes(s: SparkSession, d: String): DataFrame =
-    verifiedDupPairs(s, d)
+    Dedup.verifiedPairs(s, d)
       .select(col("id1"), col("id2"), graft.operators.Relational.round4(col("j")).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
-  /** The UNSORTED verified-pair pipeline behind d3 — also the edge list for
-    * d6/c1's cluster collapse, which would otherwise pay d3's global
-    * presentation sort only to destroy the order in the component
-    * iteration. */
-  def verifiedDupPairs(s: SparkSession, d: String): DataFrame =
-    // identical docs collapse to one representative BEFORE banding —
-    // otherwise an N-doc exact-dup cluster shares every band key and lands
-    // N²/2 pairs in one LSH bucket (see TextOps.canonicalDocs)
-    verifiedDupPairsFrom(canonicalDocs(Tables.documents(s, d), "doc_id", "text"))
-
-  /** As [[verifiedDupPairs]] but over an ALREADY-canonicalized doc frame
-    * (`doc_id`, `text`, ...) — the composition hook that lets c1 run ONE
-    * canonical-docs pass for both its stats branch and this pipeline. */
-  def verifiedDupPairsFrom(canonDocs: DataFrame): DataFrame = {
+  /** The UNSORTED verified-pair pipeline over an already-canonicalized doc
+    * frame (`doc_id`, `text`, ...) — identical docs must collapse to one
+    * representative BEFORE banding, otherwise an N-doc exact-dup cluster
+    * shares every band key and lands N²/2 pairs in one LSH bucket (see
+    * TextOps.canonicalDocs). Production entry: [[Dedup.verifiedPairs]];
+    * this hook exists for ad-hoc frames and the specs. */
+  def verifiedDupPairsFrom(canonDocs: DataFrame): DataFrame =
     // ONE shingle pass feeds both the LSH banding and the exact-Jaccard
     // verification join (the tokenize→shingle pass dominates corpus CPU).
     // Eager localCheckpoint, not persist: consumers read the materialized
     // blocks, nothing stays pinned in the CacheManager after the query —
     // blocks are reclaimed by ContextCleaner once the frame's reference
     // dies, instead of waiting for an external clearCache().
-    val sh = shingleFrame(canonDocs, "doc_id", "text").localCheckpoint(true)
+    verifiedPairsFromShingles(
+      shingleFrame(canonDocs, "doc_id", "text").localCheckpoint(true))
+
+  /** Candidate banding + exact-Jaccard verification over a MATERIALIZED
+    * shingle frame — the core both [[verifiedDupPairsFrom]] and the
+    * session fixture share. `sh` must be materialized (checkpointed): it
+    * feeds three join sides below. */
+  private[queries] def verifiedPairsFromShingles(sh: DataFrame): DataFrame = {
     // LSH prefilter keeps the candidate set tiny relative to the corpus —
     // broadcast it so the FIRST verification join is map-side against the
     // cached shingle frame. The hint is consumed by that join; its result
@@ -86,14 +90,15 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens"),
         graft.operators.Relational.round4(
           col("top_tf").cast("double") / col("n_tokens")).as("ratio"))
-    // ONE canonical-docs pass (eagerly materialized, lineage cut) feeds
-    // BOTH the kept-stats branch and the near-dup pair pipeline — the
-    // plan-level sharing a lazy shared subtree would NOT give (Spark
-    // recomputes common subplans per consumer unless they're materialized)
-    val canonDocs = canonicalDocs(docs, "doc_id", "text").localCheckpoint(true)
-    val canon = canonDocs.select(col("doc_id"), col("lang"), col("source"))
-    val clusters = graft.operators.Graph.connectedComponents(
-      verifiedDupPairsFrom(canonDocs).select(col("id1"), col("id2")))
+    // ONE canonical-docs pass (the session fixture — eagerly materialized,
+    // lineage cut) feeds BOTH the kept-stats branch and the near-dup pair
+    // pipeline — the plan-level sharing a lazy shared subtree would NOT
+    // give (Spark recomputes common subplans per consumer unless they're
+    // materialized); the cluster collapse is the same shared components
+    // frame d6/d10 read
+    val canon = Dedup.canonDocs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val clusters = Dedup.components(s, d)
     val dropIds = clusters.filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     val keptStats = canon
@@ -116,8 +121,7 @@ object TextQueries {
     * actually drops (keep one representative per cluster). The d3 pipeline
     * materializes once into the component iteration's persisted edge list. */
   def d6DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = verifiedDupPairs(s, d).select(col("id1"), col("id2"))
-    val labels = graft.operators.Graph.connectedComponents(pairs)
+    val labels = Dedup.components(s, d)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
     labels
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
@@ -138,8 +142,12 @@ object TextQueries {
     * d1 → d2/d3 → d6 → d10 into the full dedup pipeline: exact collapse,
     * near-dup detection, clustering, canonical selection. */
   def d10Survivorship(s: SparkSession, d: String): DataFrame =
+    // members come straight off the shared components fixture — d6's
+    // cluster_size window and presentation sort are its own gate's
+    // surface, not part of the membership this query consumes
     survivorshipFrom(
-      d6DupClusters(s, d).select(col("doc_id"), col("cluster")),
+      Dedup.components(s, d)
+        .select(col("id").as("doc_id"), col("comp").as("cluster")),
       Tables.documents(s, d))
 
   /** [[d10Survivorship]]'s core over caller-supplied (doc_id, cluster)
@@ -186,9 +194,7 @@ object TextQueries {
     * of the signature column); the verify joins run on candidate sets,
     * never the corpus. */
   def d11LshDial(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleFrame(
-      canonicalDocs(Tables.documents(s, d), "doc_id", "text"),
-      "doc_id", "text").localCheckpoint(true)
+    val sh = Dedup.shingles(s, d)
     def cands(rpb: Int): DataFrame =
       candidatesFromBands(bandsFromShingles(sh, 16, rpb)).localCheckpoint(true)
     def verified(c: DataFrame): DataFrame =

@@ -20,17 +20,24 @@ class GraphSpec extends SparkSpec {
     parent.keys.toSeq.map(k => k -> find(k)).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Graph.connectedComponents(edges.toDF("id1", "id2"))
+  private def run(edges: Seq[(Long, Long)], localMaxEdges: Long = 4L << 20): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("id1", "id2"),
+        localMaxEdges = localMaxEdges)
       .as[(Long, Long)].collect().toMap
 
   test("connectedComponents equals a union-find reference on random graphs") {
+    // every graph here is under the fast-path bound, so the default run
+    // exercises the single-task union-find; localMaxEdges = 0 forces the
+    // distributed min-label iteration — both must agree with the
+    // reference (and therefore each other) on every trial
     val rnd = new Random(7)
     for (trial <- 1 to 3) {
       val n = 40 + trial * 20
       val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
-      assert(run(edges) == unionFind(edges), s"trial $trial diverged")
+      assert(run(edges) == unionFind(edges), s"trial $trial diverged (fast path)")
+      assert(run(edges, localMaxEdges = 0L) == unionFind(edges),
+        s"trial $trial diverged (iteration)")
     }
   }
 
@@ -49,23 +56,27 @@ class GraphSpec extends SparkSpec {
   test("maxIter hit auto-switches to star contraction (10k-node path)") {
     // a 10 000-node path: diameter 9 999 ≫ any min-label bound. The old
     // behavior threw; now the star-contraction fallback finishes in
-    // O(log² n) rounds with the same labels.
+    // O(log² n) rounds with the same labels. localMaxEdges = 0 keeps the
+    // fast path out so the maxIter → star-contraction route is the one
+    // under test.
     val n = 10000L
     val chain = (0L until n - 1).map(i => (i, i + 1))
-    val got = Graph.connectedComponents(chain.toDF("id1", "id2"), maxIter = 3)
+    val got = Graph.connectedComponents(chain.toDF("id1", "id2"), maxIter = 3,
+        localMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got.size == n && got.values.forall(_ == 0L))
   }
 
   test("chain graphs converge (diameter bound) and label by min id") {
-    // a 20-node chain: worst diameter shape for label propagation
+    // a 20-node chain: worst diameter shape for label propagation —
+    // forced onto the iteration path (the fast path has its own trials)
     val chain = (0L until 19L).map(i => (i, i + 1))
-    val got = run(chain)
+    val got = run(chain, localMaxEdges = 0L)
     assert(got.size == 20 && got.values.forall(_ == 0L))
     // two disjoint cliques keep distinct labels
     val cliques = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong)) ++
       (for { a <- 10 to 13; b <- 10 to 13 if a < b } yield (a.toLong, b.toLong))
-    val g2 = run(cliques)
+    val g2 = run(cliques, localMaxEdges = 0L)
     assert(g2.filter(_._1 < 10).values.toSet == Set(0L))
     assert(g2.filter(_._1 >= 10).values.toSet == Set(10L))
   }
