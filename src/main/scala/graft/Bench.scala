@@ -30,19 +30,28 @@ object Bench {
     Engine.tuneLogging()
 
     val failed = scala.collection.mutable.ListBuffer[String]()
-    def exec(name: String): Double = {
+    // one sample per (pass, query): Some(seconds) on success, None on
+    // failure — a query that flakes in ONE pass keeps its passing
+    // samples (min below runs over those), and is dropped from the
+    // timing map only when every pass failed; either way its name lands
+    // in the "failed" array
+    def exec(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failed += name
-      }
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          false
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // free caches a query may have pinned (LSH band frames etc.) so later
       // queries aren't measured under avoidable storage-memory pressure
       spark.catalog.clearCache()
-      elapsed
+      if (ok) Some(elapsed) else None
     }
 
     // warmup (not reported) on the smallest SF: the joins/aggregation path
@@ -70,12 +79,16 @@ object Bench {
     // steal bursts last minutes — interleave full passes (not back-to-back
     // reps of one query) so each query's samples are spread across the run
     val passes = (1 to reps).map(_ => names.map(n => n -> exec(n)).toMap)
-    // a failed query's samples are fail-fast noise (50-200 ms to throw), so
-    // they are EXCLUDED from both the per-query map and the headline total:
-    // "value" is always the passing-subset total and comparable across
-    // rounds; failed names are carried (only) in the "failed" array
-    val failedSet = failed.distinct.toSet
-    val results = names.filterNot(failedSet).map(n => n -> passes.map(_(n)).min)
+    // per-query min over the PASSING samples only: a failed sample is
+    // fail-fast noise (50-200 ms to throw) and never enters the min, but
+    // a query that failed in some passes and succeeded in others keeps
+    // its real timings. Only an every-pass failure drops the query from
+    // the map and headline total; any failure at all is reported in the
+    // "failed" array.
+    val results = names.flatMap { n =>
+      val samples = passes.flatMap(_(n))
+      if (samples.nonEmpty) Some(n -> samples.min) else None
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -44,6 +44,10 @@ object Engine {
       // if events.parquet carries timestamp[ns], read it as LongType nanos
       // so no precision is silently dropped (Tables.tsToMicros then
       // normalizes either ns-as-long or µs-as-timestamp to int64 µs).
+      // CONTRACT: this flag is the ONLY source of a LongType ts, so
+      // tsToMicros may treat long == nanos unconditionally; a physical
+      // int64-µs column would break that silently and is caught by
+      // EventsTsDriftSpec's live-testdata range check each round.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Streaming state lives in RocksDB, matching the reference's
       // RocksDB-backed stores (samples/TopCustomerArtists.java:79,
@@ -94,6 +98,17 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val us = df.schema("ts").dataType match {
+      // CONTRACT: a LongType ts can only be the nanosAsLong read of a
+      // physical timestamp[ns] column (the only way this engine ever
+      // produces a long ts — see the nanosAsLong config sites in
+      // Engine.session and Tables.load). If a future generator shipped
+      // events.ts as PHYSICAL int64 microseconds, this branch would
+      // divide it to millis; no per-value magnitude guard can catch that
+      // without breaking the pinned 1970..2200 round-trip property
+      // (EventsTsDriftSpec), so the guard is the spec's live-testdata
+      // range check instead: every round's test run asserts the
+      // normalized range of the CURRENT generated data lands in
+      // epoch-µs for 2020..2040, which a wrong divisor misses by 1000×.
       case LongType          => expr("ts div 1000")
       case TimestampNTZType  =>
         // the NTZ→LTZ cast goes through the session timezone; anything but

@@ -352,9 +352,20 @@ object Graph {
     * reads straight off the degree aggregate; nothing in the plan
     * materializes unoriented neighbor pairs.
     *
+    * SMALL-GRAPH FAST PATH (the [[connectedComponents]] pattern): a
+    * non-empty long-keyed edge list at or below `localMaxEdges` rows is
+    * counted by ONE single-task executor-side pass running the exact
+    * same algorithm imperatively — entity graphs aggregated out of fact
+    * tables are |V|²-bounded and usually tiny next to the facts, and a
+    * five-branch distributed plan on a few thousand edges is pure
+    * scheduling overhead. Same orientation, same pivot-edge counting,
+    * bit-identical output; bigger or non-long edge lists take the
+    * distributed plan unchanged.
+    *
     * Output: one row — n_nodes, n_edges, n_wedges, n_triangles,
     * gcc = round4(3·triangles / wedges) (null on a wedge-free graph). */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame, localMaxEdges: Long = 4L << 20): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     // the edge list is read by FOUR plan branches (degree union ×2, the
     // orientation join, the edge-count stat) — materialize it once, or
     // every branch re-executes the caller's edge-building pipeline (for
@@ -363,36 +374,97 @@ object Graph {
     // materialized frame is |E| rows of two ids — the aggregated entity
     // graph, tiny next to the facts that produced it at any scale.
     val ec = edges.select(col("u"), col("v")).localCheckpoint(true)
-    val deg = ec.select(col("u").as("n"))
-      .union(ec.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val e = ec
-      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
-    val uFirst = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val o = e.select(
-      when(uFirst, col("u")).otherwise(col("v")).as("s"),
-      when(uFirst, col("v")).otherwise(col("u")).as("t"))
-      .localCheckpoint(true) // read by the adjacency build AND the edge side
-    // sorted out-adjacency per source; arrays are √(2m)-bounded by the
-    // orientation, so collect_list can never explode a partition
-    val adj = o.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("t"))).as("nb"))
-    val tri = o
-      .join(adj.select(col("s"), col("nb").as("nb_s")), Seq("s"))
-      .filter(size(col("nb_s")) >= 2) // out-degree-1 sources can't pivot
-      .join(adj.select(col("s").as("t"), col("nb").as("nb_t")), Seq("t"))
-      .select(size(array_intersect(col("nb_s"), col("nb_t"))).as("c"))
-      .agg(sum(col("c")).cast("long").as("n_triangles"))
-      .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
-      expr("sum(deg * (deg - 1) div 2)").cast("long").as("n_wedges"))
-    val edgeStats = ec.agg(count(lit(1)).as("n_edges"))
-    nodeStats.crossJoin(edgeStats).crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        Relational.round4(lit(3.0) * col("n_triangles") / col("n_wedges"))
-          .as("gcc"))
+    val longIds = ec.schema("u").dataType == LongType &&
+      ec.schema("v").dataType == LongType
+    val nEdges = if (longIds) ec.count() else Long.MaxValue
+    val stats =
+      if (longIds && nEdges > 0 && nEdges <= localMaxEdges) triangleStatsLocal(ec)
+      else {
+        val deg = ec.select(col("u").as("n"))
+          .union(ec.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val e = ec
+          .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+        val uFirst = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val o = e.select(
+          when(uFirst, col("u")).otherwise(col("v")).as("s"),
+          when(uFirst, col("v")).otherwise(col("u")).as("t"))
+          .localCheckpoint(true) // read by the adjacency build AND the edge side
+        // sorted out-adjacency per source; arrays are √(2m)-bounded by the
+        // orientation, so collect_list can never explode a partition
+        val adj = o.groupBy(col("s"))
+          .agg(sort_array(collect_list(col("t"))).as("nb"))
+        val tri = o
+          .join(adj.select(col("s"), col("nb").as("nb_s")), Seq("s"))
+          .filter(size(col("nb_s")) >= 2) // out-degree-1 sources can't pivot
+          .join(adj.select(col("s").as("t"), col("nb").as("nb_t")), Seq("t"))
+          .select(size(array_intersect(col("nb_s"), col("nb_t"))).as("c"))
+          .agg(sum(col("c")).cast("long").as("n_triangles"))
+          .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+          expr("sum(deg * (deg - 1) div 2)").cast("long").as("n_wedges"))
+        val edgeStats = ec.agg(count(lit(1)).as("n_edges"))
+        nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      }
+    stats.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+      col("n_triangles"),
+      Relational.round4(lit(3.0) * col("n_triangles") / col("n_wedges"))
+        .as("gcc"))
+  }
+
+  /** Single-task degree-ordered triangle census for SMALL materialized
+    * edge lists — the same orientation + pivot-edge algorithm as the
+    * distributed plan, run imperatively in one `mapPartitions` task
+    * (sorted adjacency arrays, two-pointer intersection). Returns the
+    * four-count frame the shared gcc projection finishes. */
+  private def triangleStatsLocal(ec: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong)
+    ec.select(col("u").as("_1"), col("v").as("_2")).as(tup)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val rows = it.toArray
+        val deg = new scala.collection.mutable.LongMap[Long]()
+        rows.foreach { case (u, v) =>
+          deg.update(u, deg.getOrElse(u, 0L) + 1L)
+          deg.update(v, deg.getOrElse(v, 0L) + 1L)
+        }
+        var nWedges = 0L
+        deg.foreachValue(d => nWedges += d * (d - 1) / 2)
+        // orient toward the (degree, id)-larger endpoint; collect sorted
+        // out-adjacency per source
+        val adj = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]]()
+        val oriented = rows.map { case (u, v) =>
+          val du = deg(u); val dv = deg(v)
+          val uFirst = du < dv || (du == dv && u < v)
+          val (s, t) = if (uFirst) (u, v) else (v, u)
+          adj.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer[Long]()) += t
+          (s, t)
+        }
+        val adjSorted = new scala.collection.mutable.LongMap[Array[Long]]()
+        adj.foreach { case (k, b) =>
+          val a = b.toArray
+          java.util.Arrays.sort(a)
+          adjSorted.update(k, a)
+        }
+        var nTri = 0L
+        oriented.foreach { case (s, t) =>
+          val ns = adjSorted(s)
+          if (ns.length >= 2) adjSorted.get(t).foreach { nt =>
+            var i = 0; var j = 0
+            while (i < ns.length && j < nt.length) {
+              if (ns(i) == nt(j)) { nTri += 1; i += 1; j += 1 }
+              else if (ns(i) < nt(j)) i += 1
+              else j += 1
+            }
+          }
+        }
+        Iterator.single((deg.size.toLong, rows.length.toLong, nWedges, nTri))
+      }(outEnc)
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
   }
 }

@@ -41,4 +41,22 @@ class TriangleSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") == 2L)
     assert(r.getAs[Long]("n_nodes") == 6L)
   }
+
+  test("single-task fast path equals the distributed plan on random graphs") {
+    // every pencil-sized case above runs the fast path; localMaxEdges = 0
+    // forces the distributed adjacency-intersection plan — the two must
+    // emit identical rows on arbitrary (distinct, canonical u<v) graphs
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 15
+      val edges = Seq.fill(n * 3)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val fast = Graph.triangleStats(edges.toDF("u", "v")).collect().head
+      val dist = Graph.triangleStats(edges.toDF("u", "v"), localMaxEdges = 0L)
+        .collect().head
+      assert(fast == dist, s"trial $trial diverged: fast=$fast dist=$dist")
+    }
+  }
 }

@@ -96,4 +96,63 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(enriched.toSeq == Seq(("l1", "Jazz"), ("l2", "Pop")))
     } finally q.stop()
   }
+
+  test("full produce→confirm→email path: ledger confirmations stream into the flaky mail sink") {
+    // the reference's whole K3 pipeline in one query — tickets stream →
+    // capacity ledger (flatMapGroupsWithState) → ForeachWriter SMTP sink
+    // with the deterministic flaky transport — where MailSinkSpec feeds
+    // the writer canned confirmations and the ledger spec stops at the
+    // memory sink. Asserts the emails AND the retry/dead-letter
+    // accounting across two micro-batches.
+    import scala.jdk.CollectionConverters._
+    MailSinkSpec.inbox.clear()
+    implicit val ctx = spark.sqlContext
+    val events = Seq(Event("e9", "a1", "v1", 3, "today")).toDF()
+    val tickets = MemoryStream[Ticket]
+    val reqs = tickets.toDS().toDF()
+      .join(events.select(col("id").as("eventid"), col("capacity")), "eventid")
+      .select(col("id").as("ticketId"), col("customerid"), col("eventid"),
+        col("capacity"),
+        expr("cast(substring(id, 2, 10) as long)").as("seq"))
+      .as[TicketReq]
+    val ticketRows = Seq(
+      Ticket("t1", "c1", "e9", 10.0), Ticket("t2", "c2", "e9", 10.0),
+      Ticket("t3", "c3", "e9", 10.0), Ticket("t4", "c4", "e9", 10.0))
+    // capacity 3 → t1-t3 CONFIRMED, t4 REJECTED; the expected emails are
+    // pure functions of that, so the fixture can aim the transient-fail
+    // bucket at a message it is guaranteed to contain
+    val expected = Seq(
+      TicketConfirmation("t1", "c1", "e9", "CONFIRMED", 2.0),
+      TicketConfirmation("t2", "c2", "e9", "CONFIRMED", 1.0),
+      TicketConfirmation("t3", "c3", "e9", "CONFIRMED", 0.0),
+      TicketConfirmation("t4", "c4", "e9", "REJECTED", -1.0))
+      .map(Mail.confirmationEmail)
+    def bucket(m: Mail.Message): Int =
+      math.floorMod((m.to + "|" + m.subject).hashCode, 10)
+    val failBucket = bucket(expected.head)
+    val transient = expected.count(bucket(_) == failBucket)
+    val sent = spark.sparkContext.longAccumulator("e2e_mail_sent")
+    val retried = spark.sparkContext.longAccumulator("e2e_mail_retried")
+    val failed = spark.sparkContext.longAccumulator("e2e_mail_failed")
+    val writer = new Mail.ConfirmationMailWriter(
+      new Mail.FlakyTransport(new MailSinkSpec.RecordingTransport,
+        failBucket = failBucket, hardFailBucket = -1, sleepBucket = -1, sleepMs = 0L),
+      sent, retried, failed, maxAttempts = 3)
+    val q = StatefulOps.capacityLedger(reqs)
+      .writeStream.foreach(writer).outputMode("update").start()
+    try {
+      tickets.addData(ticketRows(0), ticketRows(1))
+      q.processAllAvailable()
+      tickets.addData(ticketRows(2), ticketRows(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(MailSinkSpec.inbox.asScala.toSet == expected.toSet,
+      "delivered mailbox diverges from the ledger's confirmations")
+    assert(expected.count(_.body == "Your ticket has been CONFIRMED!") == 3)
+    assert(expected.count(_.body == "Your ticket has been REJECTED!") == 1)
+    assert(sent.value == 4L, "every confirmation must eventually send")
+    assert(retried.value == transient.toLong,
+      "each transient-bucket message retries exactly once per epoch it appears in")
+    assert(failed.value == 0L)
+  }
 }
