@@ -270,10 +270,24 @@ object Graph {
     * constant (rank is invariant to uniform weight scaling up to floor
     * residue; the spec pins this insensitivity at small scale). */
   def pagerankInt(edges: DataFrame, nodes: DataFrame, iters: Int,
-      scale: Long = 1000000000L, dampNum: Long = 85L): DataFrame = {
+      scale: Long = 1000000000L, dampNum: Long = 85L,
+      localMaxEdges: Long = 4L << 20): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
-    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val e = edges.join(wout, "src")
+    import org.apache.spark.sql.types.LongType
+    // the aggregated edge list is the iteration's whole input —
+    // materialize it once (the fact-scale aggregation behind it must
+    // never re-run per round), then size-route exactly like
+    // [[connectedComponents]]: an entity graph that fits one task runs
+    // its `iters` rounds as one imperative loop (integer arithmetic, so
+    // the local loop is bit-identical to the join-per-round plan);
+    // anything larger iterates distributed.
+    val e0 = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
+    val longT = Seq("src", "dst", "w").forall(e0.schema(_).dataType == LongType) &&
+      nodes.schema("id").dataType == LongType
+    if (longT && e0.count() <= localMaxEdges && nodes.count() <= localMaxEdges)
+      return pagerankLocal(e0, nodes, iters, scale, dampNum)
+    val wout = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = e0.join(wout, "src")
       .select(col("src"), col("dst"), col("w"), col("wout"))
       .localCheckpoint(true)
     val base = (100L - dampNum) * scale / 100L
@@ -290,6 +304,50 @@ object Graph {
     ranks
   }
 
+  /** Single-task [[pagerankInt]] for small entity graphs: the edge list
+    * and node list ride into ONE task as a tag-discriminated union, and
+    * the `iters` rounds run as an in-memory loop over LongMaps. Every
+    * arithmetic step mirrors the distributed plan exactly — positive
+    * long multiply, floor division (Java `/` == SQL `div` on
+    * non-negatives), contributions only from ranked sources, base rank
+    * for contribution-less nodes — so the output is bit-identical. */
+  private def pagerankLocal(e0: DataFrame, nodes: DataFrame, iters: Int,
+      scale: Long, dampNum: Long): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val tup4 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong)
+    val tup2 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val base = (100L - dampNum) * scale / 100L
+    val tagged = e0
+      .select(lit(0L).as("_1"), col("src").as("_2"), col("dst").as("_3"), col("w").as("_4"))
+      .union(nodes.select(lit(1L).as("_1"), col("id").as("_2"),
+        lit(0L).as("_3"), lit(0L).as("_4")))
+    tagged.as(tup4).coalesce(1).mapPartitions { it =>
+      val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (tag, a, b, c) =>
+        if (tag == 0L) es += ((a, b, c)) else ns += a
+      }
+      val wout = new scala.collection.mutable.LongMap[Long]()
+      es.foreach { case (s, _, w) => wout.update(s, wout.getOrElse(s, 0L) + w) }
+      var pr = new scala.collection.mutable.LongMap[Long]()
+      ns.foreach(n => pr.update(n, scale))
+      for (_ <- 1 to iters) {
+        val contrib = new scala.collection.mutable.LongMap[Long]()
+        es.foreach { case (s, dd, w) =>
+          pr.get(s).foreach { p =>
+            contrib.update(dd, contrib.getOrElse(dd, 0L) + (p * w) / wout(s))
+          }
+        }
+        val next = new scala.collection.mutable.LongMap[Long]()
+        ns.foreach(n =>
+          next.update(n, base + (dampNum * contrib.getOrElse(n, 0L)) / 100L))
+        pr = next
+      }
+      ns.iterator.map(n => (n, pr(n)))
+    }(tup2).toDF("id", "pr")
+  }
+
   /** Single-source BFS levels (unweighted SSSP) by min-relaxation —
     * Pregel's canonical first program, run as `iters` rounds of ONE
     * edge join + min-aggregate per round over the ENTITY edge list
@@ -304,9 +362,17 @@ object Graph {
     * entity graphs here are shallow, so the simpler relaxation is the
     * right trade. O(1) lineage via per-round localCheckpoint. */
   def bfsLevels(edges: DataFrame, nodes: DataFrame, src: Long,
-      iters: Int): DataFrame = {
+      iters: Int, localMaxEdges: Long = 4L << 20): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     val e = edges.select(col("src").as("eu"), col("dst").as("ev"))
       .localCheckpoint(true)
+    // size-routed like pagerankInt: a one-task entity graph runs its
+    // min-relaxation rounds as an in-memory loop with identical levels
+    val longT = e.schema("eu").dataType == LongType &&
+      e.schema("ev").dataType == LongType &&
+      nodes.schema("id").dataType == LongType
+    if (longT && e.count() <= localMaxEdges && nodes.count() <= localMaxEdges)
+      return bfsLocal(e, nodes, src, iters)
     var levels = nodes
       .select(col("id"), when(col("id") === src, 0L).as("lvl"))
       .localCheckpoint(true)
@@ -320,6 +386,53 @@ object Graph {
         .localCheckpoint(true)
     }
     levels
+  }
+
+  /** Single-task [[bfsLevels]]: tag-union of edges and nodes into one
+    * task, `iters` rounds of min-relaxation over a LongMap (-1 encodes
+    * the null "unreached" level). Per round the candidate set is
+    * computed from the PREVIOUS round's levels — the same snapshot
+    * semantics as the join formulation — and only listed nodes are ever
+    * relaxed or emitted, so the result is row-identical including the
+    * nullable lvl column. */
+  private def bfsLocal(e: DataFrame, nodes: DataFrame, src: Long,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val tup3 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.LONG)
+    val tagged = e
+      .select(lit(0L).as("_1"), col("eu").as("_2"), col("ev").as("_3"))
+      .union(nodes.select(lit(1L).as("_1"), col("id").as("_2"), lit(0L).as("_3")))
+    tagged.as(tup3).coalesce(1).mapPartitions { it =>
+      val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (tag, a, b) =>
+        if (tag == 0L) es += ((a, b)) else ns += a
+      }
+      val lvl = new scala.collection.mutable.LongMap[Long]()
+      ns.foreach(n => lvl.update(n, if (n == src) 0L else -1L))
+      for (_ <- 1 to iters) {
+        val cand = new scala.collection.mutable.LongMap[Long]()
+        es.foreach { case (u, v) =>
+          val lu = lvl.getOrElse(u, -1L)
+          if (lu >= 0L) {
+            val nl = lu + 1L
+            val cur = cand.getOrElse(v, Long.MaxValue)
+            if (nl < cur) cand.update(v, nl)
+          }
+        }
+        cand.foreach { case (v, nl) =>
+          lvl.get(v).foreach { cur =>
+            if (cur < 0L || nl < cur) lvl.update(v, nl)
+          }
+        }
+      }
+      ns.iterator.map { n =>
+        val l = lvl(n)
+        (n, if (l < 0L) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(l))
+      }
+    }(outEnc).toDF("id", "lvl")
   }
 
   /** Exact triangle count + global clustering coefficient over a distinct

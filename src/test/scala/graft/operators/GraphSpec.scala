@@ -82,9 +82,9 @@ class GraphSpec extends SparkSpec {
   }
 
   private def pr(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
-      iters: Int): Map[Long, Long] =
+      iters: Int, localMaxEdges: Long = 4L << 20): Map[Long, Long] =
     Graph.pagerankInt(edges.toDF("src", "dst", "w"),
-        nodes.toDF("id"), iters)
+        nodes.toDF("id"), iters, localMaxEdges = localMaxEdges)
       .as[(Long, Long)].collect().toMap
 
   test("pagerankInt: hand-computed fixed-point values on a 3-node graph") {
@@ -94,10 +94,23 @@ class GraphSpec extends SparkSpec {
     // prA = 0.15e9 + 85*(1e9 + 1e9) div 100; prB keeps exactly 1e9;
     // prC = teleport only
     assert(r1 == Map(1L -> 1850000000L, 2L -> 1000000000L, 3L -> 150000000L))
+    // the forced distributed iteration is bit-identical to the fast path
+    assert(pr(edges, Seq(1L, 2L, 3L), iters = 1, localMaxEdges = 0L) == r1)
     // a symmetric 2-cycle is the fixpoint 1e9 at every iteration count
     val cyc = Seq((1L, 2L, 3L), (2L, 1L, 3L))
     for (k <- Seq(1, 4))
       assert(pr(cyc, Seq(1L, 2L), k) == Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("pagerankInt fast path equals the distributed iteration on a random weighted graph") {
+    val rnd = new Random(99)
+    val n = 30
+    val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+        (rnd.nextInt(9) + 1).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val nodes = (0L until n.toLong)
+    assert(pr(edges, nodes, iters = 4) ==
+      pr(edges, nodes, iters = 4, localMaxEdges = 0L))
   }
 
   test("pagerankInt is invariant to uniform weight scaling (floor((7a)/(7b)) = floor(a/b))") {
