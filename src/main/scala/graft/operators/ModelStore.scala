@@ -34,18 +34,25 @@ object ModelStore {
   /** Persist a trained coarse+PQ model (the [[Similarity.coarsePqModels]]
     * quadruple) under `dir`, one parquet table per part plus geometry
     * metadata. Overwrites any previous model at that path atomically per
-    * table (parquet overwrite semantics). */
+    * table (parquet overwrite semantics). The five tables land on
+    * independent paths, so their write JOBS run concurrently (one driver
+    * thread each — Spark schedules concurrent jobs fine); serializing
+    * them would stack five small-job latencies for no isolation gain. */
   def saveCoarsePq(
       dir: String, assigned: DataFrame, centroids: DataFrame,
       codes: DataFrame, books: DataFrame,
       m: Int, k: Int, coarseK: Int, dims: Int): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val spark = assigned.sparkSession
     import spark.implicits._
-    Seq(assigned, centroids, codes, books).zip(parts).foreach {
-      case (df, name) => df.write.mode("overwrite").parquet(s"$dir/$name")
+    val meta = Seq((m, k, coarseK, dims)).toDF("m", "k", "coarse_k", "dims")
+    val writes = (Seq(assigned, centroids, codes, books).zip(parts) :+
+      (meta, "meta")).map { case (df, name) =>
+      Future { df.write.mode("overwrite").parquet(s"$dir/$name") }
     }
-    Seq((m, k, coarseK, dims)).toDF("m", "k", "coarse_k", "dims")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    Await.result(Future.sequence(writes), Duration.Inf)
   }
 
   /** Load a stored model: (assigned, centroids, codes, books). Validates

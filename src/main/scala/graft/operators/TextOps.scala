@@ -422,10 +422,16 @@ object TextOps {
     * Plan: bigrams form in the scan stage (transform over an index
     * sequence — no self-join of positions); corpus bigram counts are
     * t15's window-over-the-tf-aggregate trick (no second aggregate);
-    * unigram context counts join on w1 (vocabulary-keyed shuffle — the
-    * one join a bigram model genuinely needs); V is a 1-row broadcast.
-    * Same determinism ladder as t15: rounded log-probs, decimal
-    * accumulation, one final rounded division. */
+    * unigram context counts join on w1 (vocabulary-keyed — Spark picks
+    * broadcast when the materialized vocab is small, shuffle when a real
+    * corpus's vocabulary isn't); V is a 1-row broadcast. The tokenized
+    * frame is checkpointed ONCE and feeds the bigram chain, the unigram
+    * chain, and the keep-the-row frame — without it Spark re-scans and
+    * re-tokenizes the corpus once per chain (lazy subtrees are never
+    * shared across plan branches), and the un-materialized unigram
+    * aggregate's unknown size made the w1 join build on the WRONG
+    * (bigram) side. Same determinism ladder as t15: rounded log-probs,
+    * decimal accumulation, one final rounded division. */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // NO text coalesce here: a null-text doc must contribute NOTHING to
     // the unigram/vocab statistics (coalescing to '' would inject an ''
@@ -433,6 +439,7 @@ object TextOps {
     // restored by the final left join instead
     val toks = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("__t"))
+      .localCheckpoint(true)
     val dbf = toks
       .select(col("doc_id"),
         explode(when(size(col("__t")) < 2,
@@ -443,14 +450,21 @@ object TextOps {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
-    val uf = docs
-      .select(explode(tokens(col(textCol))).as("w1"))
+    // explode(null array) drops the row, so null-text docs stay absent
+    // from the unigram stats exactly as they were when this chain
+    // re-tokenized from `docs`
+    val uf = toks
+      .select(explode(col("__t")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+      .localCheckpoint(true)
     val vocab = uf.agg(count(lit(1)).as("vocab"))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("w1"), col("w2"))
+    // corpus bigram counts: aggregate dbf down to the (w1,w2) vocabulary
+    // (map-side combine collapses the doc dimension) and join the tiny
+    // result back — t15's window-over-tf trick would instead SORT the full
+    // per-doc bigram frame by (w1,w2), which is the plan's only large sort
+    val bc = dbf.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("bc"))
     val agg = dbf
-      .withColumn("bc", sum(col("n")).over(wb))
+      .join(bc, Seq("w1", "w2"))
       .join(uf, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp", Relational.round4(
@@ -462,7 +476,7 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"),
         Relational.round4(
           col("__slp").cast("double") / col("n_bigrams")).as("avg_logprob"))
-    docs.select(col(idCol).as("doc_id"))
+    toks.select(col("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -342,9 +342,19 @@ object RelationalQueries {
   }
 
   /** Hierarchical rollup (beyond the reference: grouping sets): revenue at
-    * (region, nation), (region) and grand-total levels in ONE pass —
-    * Spark expands the rollup inside the aggregate, so the fact table is
-    * still scanned and shuffled once. */
+    * (region, nation), (region) and grand-total levels.
+    *
+    * Plan: the fact rows are FIRST collapsed to one exact-decimal partial
+    * per (region, nation) — 25 rows — and the rollup's grouping-set
+    * Expand runs on those partials, not the fact table. A naive
+    * `.rollup` over the joined facts expands every fact row once per
+    * grouping set (3× the shuffle volume at any scale); because the
+    * revenue partial is an exact decimal sum (associative — the whole
+    * point of the dec() contract) and n_items a count, re-aggregating
+    * partials is value-identical to the single-stage rollup, and the
+    * final cast-to-double sees the same exact decimal total. At 100 TB
+    * the pre-aggregation is the difference between Expand seeing ~25
+    * rows and Expand tripling the fact shuffle. */
   def r1RollupRevenue(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
@@ -355,9 +365,14 @@ object RelationalQueries {
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("__rev"),
+        count(lit(1)).as("__n"))
       .rollup(col("r_name"), col("n_name"))
       .agg(grouping_id().cast("int").as("gid"),
-        revenue.as("revenue"), count(lit(1)).as("n_items"))
+        sum(col("__rev")).cast("double").as("revenue"),
+        sum(col("__n")).as("n_items"))
       .select(col("gid"),
         coalesce(col("r_name"), lit("ALL")).as("region_name"),
         coalesce(col("n_name"), lit("ALL")).as("nation_name"),
@@ -777,28 +792,44 @@ object RelationalQueries {
   def x15ZonemapPrune(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nb = 64
-    // Eager checkpoint after both bucket windows: the union below reads
-    // `bucketed` twice, and without materialization each branch re-executes
-    // the whole hash→sort→ntile→sort→ntile chain (Spark shares no lazy
-    // subtree across union branches) — measured, the checkpoint alone is
-    // a ~20% win. Two deliberate non-wins, both measured at sf0.1 before
-    // settling here: (a) a layout-tagged union through ONE
-    // partitionBy(layout) window — the sibling sorts do run concurrently,
-    // but the downstream zone-map aggregation then rides the window's
-    // 2-partition output and loses more than the fused sort saves;
-    // (b) a fully distributed exact-ntile (repartitionByRange +
-    // per-partition prefix offsets) — identical output, and the shape
-    // this operator takes at real scale (see below), but at bench scale
-    // its extra barrier jobs cost more than two serial 600k-row sorts.
-    val bucketed = mortonPoints(s, d)
-      .withColumn("bz", ntile(nb).over(Window.orderBy(col("z"))))
-      .withColumn("bx", ntile(nb).over(Window.orderBy(col("px"), col("sx"))))
-      .localCheckpoint(true)
-    val layouts = bucketed
-      .select(lit("zorder").as("layout"), col("bz").as("bucket"),
-        col("px"), col("sx"))
-      .union(bucketed.select(lit("single_col").as("layout"),
-        col("bx").as("bucket"), col("px"), col("sx")))
+    // The two layouts are INDEPENDENT single-partition ntile sorts of the
+    // same checkpointed point cloud, so each is bucketed in its own frame
+    // and the two materializing jobs run concurrently (one driver thread
+    // each — the d11 pattern); no join-back is needed because every row
+    // carries its own (px, sx). Checkpointing each frame also keeps the
+    // union from re-executing the sort chain per branch (lazy subtrees
+    // are never shared across union branches) — measured, materialization
+    // alone was a ~20% win before the sorts were parallelized. Two
+    // deliberate non-wins, both measured at sf0.1 before settling here:
+    // (a) a layout-tagged union through ONE partitionBy(layout) window —
+    // the sibling sorts do run concurrently, but the downstream zone-map
+    // aggregation then rides the window's 2-partition output and loses
+    // more than the fused sort saves; (b) a fully distributed exact-ntile
+    // (repartitionByRange + per-partition prefix offsets) — identical
+    // output, and the shape this operator takes at real scale (see
+    // below), but at bench scale its extra barrier jobs cost more than
+    // the 600k-row sorts. Equal sort keys are identical points (z is a
+    // bijection of (px, sx)), so tie order can't perturb either layout's
+    // zone maps.
+    // no shared checkpoint of the raw points: mortonPoints is a scan-stage
+    // projection (hash + interleave, no shuffle), and recomputing it inside
+    // each concurrent chain is cheaper than a serial materialization stage
+    // in front of them
+    val pts = mortonPoints(s, d)
+    def layoutOf(tag: String, sortCols: Seq[Column]): DataFrame =
+      pts.withColumn("bucket", ntile(nb).over(Window.orderBy(sortCols: _*)))
+        .select(lit(tag).as("layout"), col("bucket"), col("px"), col("sx"))
+        .localCheckpoint(true)
+    val Seq(zorder, singleCol) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(layoutOf("zorder", Seq(col("z")))),
+        Future(layoutOf("single_col", Seq(col("px"), col("sx")))))),
+        Duration.Inf)
+    }
+    val layouts = zorder.union(singleCol)
     val rects = Seq(
         ("aligned_quadrant", 16L, 31L, 16L, 31L),
         ("unaligned_rect", 5L, 40L, 9L, 50L))
@@ -840,9 +871,18 @@ object RelationalQueries {
   def x14Triangles(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
-    val edges = li.select(col("ok"), col("l_partkey").as("u"))
-      .join(li.select(col("ok"), col("l_partkey").as("v")), Seq("ok"))
-      .filter(col("u") < col("v"))
+    // basket-array pair generation: ONE basket-keyed shuffle collects each
+    // order's parts, and the ordered value pairs form in the scan stage
+    // (x < y over the array — same multiset as the previous fact self-join,
+    // which scanned lineitem twice and built a fact-sized hash side); the
+    // per-basket O(n²) is bounded by basket size, never the corpus
+    val pairs = li.groupBy(col("ok"))
+      .agg(collect_list(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> x < y)," +
+          " y -> named_struct('u', x, 'v', y))))")).as("p"))
+    val edges = pairs
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("u"), col("v"))

@@ -202,13 +202,24 @@ object TextQueries {
         .join(sh.as("sb"), col("id2") === col("sb.doc_id"))
         .withColumn("j", jaccard(col("sa.sh"), col("sb.sh")))
         .filter(col("j") >= 0.8)
-    val c4 = cands(4)
-    val c2 = cands(2)
     // Each geometry's verified count feeds BOTH its stats row and the
     // recall-monotonicity check — checkpoint the 1-row count so the
     // candidate⋈shingle verify join runs once per geometry, not twice.
-    val v4 = verified(c4).agg(count(lit(1)).as("n_verified")).localCheckpoint(true)
-    val v2 = verified(c2).agg(count(lit(1)).as("n_verified")).localCheckpoint(true)
+    // The two geometries are independent band→candidate→verify chains
+    // over the same checkpointed shingle fixture, so their materializing
+    // jobs run CONCURRENTLY (one driver thread each) instead of stacking
+    // four checkpoint latencies end to end.
+    def chain(rpb: Int): (DataFrame, DataFrame) = {
+      val c = cands(rpb)
+      (c, verified(c).agg(count(lit(1)).as("n_verified")).localCheckpoint(true))
+    }
+    val Seq((c4, v4), (c2, v2)) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(4, 2).map(r => Future(chain(r)))),
+        Duration.Inf)
+    }
     def stats(nb: Long, rpb: Long, c: DataFrame, v: DataFrame): DataFrame =
       c.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(v)
