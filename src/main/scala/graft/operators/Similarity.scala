@@ -263,13 +263,6 @@ object Similarity {
     val centered = vecs.crossJoin(broadcast(mu))
       .select(col("vec_id"),
         zip_with(col("v"), col("mu"), (a, b) => a - b).as("x"))
-      // each power round is a full-plan job over this frame; with the
-      // session default 32 partitions the rounds' cost is task-launch
-      // overhead, not arithmetic — 8 partitions keeps the aggregate
-      // parallel while quartering the per-round scheduling bill (the
-      // round4 quantization of every per-round average absorbs the
-      // partial-order change, like any repartition would at scale)
-      .coalesce(8)
       .localCheckpoint(true)
     var ax: Array[Double] = Array.fill(dims)(0.125)
     def axLit = array(ax.toIndexedSeq.map(lit(_)): _*)
