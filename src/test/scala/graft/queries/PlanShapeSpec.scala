@@ -89,6 +89,22 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("Tables.load is a bare scan — no exchange decorates the load edge") {
+    // round-8 A/B: a blanket key-hash fan-out at the load edge LOST to the
+    // bare scan (20.6 s vs 18.9 s over the 16 affected queries; SCALE.md
+    // §Scan edge) — the extra exchange per scan costs more than the
+    // parallelism it buys, and at 100 TB a load-edge repartition of the
+    // corpus would be a pure pessimization. Compute-heavy queries that
+    // need fan-out opt in per-plan (Relational.fanout). This pins the
+    // rejected decoration so it can't silently return.
+    for (t <- Seq("lineitem", "events", "documents", "embeddings")) {
+      val p = graft.Tables.load(spark, sf, t).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"),
+        s"Tables.load($t) plans an exchange at the scan edge:\n$p")
+    }
+  }
+
   test("NO catalog query plans a CartesianProduct (broadcast NLJ of tiny frames is the only cross-join form)") {
     // "explainString" itself only plans, but CONSTRUCTING some frames
     // (kmeans/PQ/LSH families) runs their eager localCheckpoint training
