@@ -762,12 +762,22 @@ object TextQueries {
     * (lang, shard), zero-fill for languages that lose every doc). */
   def c4TrainingMix(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // the survivor set and the sample are each read by SEVERAL downstream
+    // branches (rebalancing masses, chunk membership, pack join, per-lang
+    // counts); left lazy, every branch re-executes the Gopher text pass —
+    // the composition bug at any scale. Materialize the two-id frames once
+    // (doc_id+lang — survivor-count-sized, never text) and the heavy
+    // filter runs exactly one time. temperatureMix reads only (doc_id,
+    // lang), so the projection is semantics-preserving.
     val kept = docs.join(
       gopherRules(docs, "doc_id", "text").filter(col("keep"))
         .select(col("doc_id")),
       "doc_id")
+      .select(col("doc_id"), col("lang"))
+      .localCheckpoint(true)
     val sampled = temperatureMix(kept, "doc_id", "lang")
       .select(col("doc_id"), col("lang"))
+      .localCheckpoint(true)
     val chunks = chunkTokens(
       docs.join(sampled.select(col("doc_id")), "doc_id"), "doc_id", "text",
       chunkSize = 32, overlap = 8)
