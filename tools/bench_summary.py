@@ -11,7 +11,25 @@ measures the engine, not the noise — the same reasoning Bench itself uses
 for its in-run best-of-N. Pass `-` for prior to skip the comparison.
 """
 import json
+import os
 import sys
+
+NOTES_START = "<!-- notes:start -->"
+NOTES_END = "<!-- notes:end -->"
+
+
+def preserved_notes(path: str) -> list:
+    """Hand-written notes (methodology flags, validation claims) live
+    between the notes markers and survive regeneration — without this,
+    rerunning the script silently drops the disclosures the record is
+    required to carry."""
+    if not os.path.exists(path):
+        return []
+    text = open(path).read()
+    if NOTES_START not in text or NOTES_END not in text:
+        return []
+    block = text.split(NOTES_START, 1)[1].split(NOTES_END, 1)[0]
+    return [NOTES_START + block + NOTES_END, ""]
 
 
 def main() -> int:
@@ -51,6 +69,7 @@ def main() -> int:
             f"(**{tot_new / tot_old:.2f}×**).",
             "",
         ]
+    lines += preserved_notes(f"BENCH_SUMMARY_r{rnd}.md")
     lines += ["| query | sec |" + (" prior | Δ |" if prior else ""),
               "|---|---|" + ("---|---|" if prior else "")]
     for k in sorted(qs):
