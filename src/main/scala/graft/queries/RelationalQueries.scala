@@ -830,19 +830,34 @@ object RelationalQueries {
         Duration.Inf)
     }
     val layouts = zorder.union(singleCol)
+    // zone maps are WRITE-TIME stats — per file, once, predicate-free
+    // (parquet footer min/max at real scale). Computing them per rect
+    // (the old crossJoin(rects) shape) re-scanned every row once per
+    // predicate, which both doubled the aggregation input here and
+    // misrepresented the operator: the per-rect ground-truth match counts
+    // ride the SAME single pass as conditional sums, and the 2-rows-per-
+    // bucket rect dimension unfolds afterwards by a scan-stage stack over
+    // the 128-row zone-map frame. Values are algebraically unchanged.
     val rects = Seq(
-        ("aligned_quadrant", 16L, 31L, 16L, 31L),
-        ("unaligned_rect", 5L, 40L, 9L, 50L))
-      .toDF("rect", "xlo", "xhi", "ylo", "yhi")
-    val perBucket = layouts.crossJoin(broadcast(rects))
-      .groupBy(col("layout"), col("rect"), col("bucket"),
-        col("xlo"), col("xhi"), col("ylo"), col("yhi"))
-      .agg(min(col("px")).as("min_px"), max(col("px")).as("max_px"),
-        min(col("sx")).as("min_sx"), max(col("sx")).as("max_sx"),
-        count(lit(1)).as("n_rows"),
-        sum(when(col("px").between(col("xlo"), col("xhi")) &&
-          col("sx").between(col("ylo"), col("yhi")), 1L).otherwise(0L))
-          .as("n_match"))
+      ("aligned_quadrant", 16L, 31L, 16L, 31L),
+      ("unaligned_rect", 5L, 40L, 9L, 50L))
+    val matchCols = rects.zipWithIndex.map { case ((_, xlo, xhi, ylo, yhi), i) =>
+      sum(when(col("px").between(xlo, xhi) && col("sx").between(ylo, yhi),
+        1L).otherwise(0L)).as(s"__m$i")
+    }
+    val stackArgs = rects.zipWithIndex.map { case ((name, xlo, xhi, ylo, yhi), i) =>
+      s"'$name', ${xlo}L, ${xhi}L, ${ylo}L, ${yhi}L, __m$i"
+    }.mkString(", ")
+    val perBucket = layouts
+      .groupBy(col("layout"), col("bucket"))
+      .agg(min(col("px")).as("min_px"),
+        (Seq(max(col("px")).as("max_px"),
+          min(col("sx")).as("min_sx"), max(col("sx")).as("max_sx"),
+          count(lit(1)).as("n_rows")) ++ matchCols): _*)
+      .select(col("layout"), col("bucket"), col("min_px"), col("max_px"),
+        col("min_sx"), col("max_sx"), col("n_rows"),
+        expr(s"stack(${rects.size}, $stackArgs)")
+          .as(Seq("rect", "xlo", "xhi", "ylo", "yhi", "n_match")))
       .withColumn("touched",
         col("max_px") >= col("xlo") && col("min_px") <= col("xhi") &&
           col("max_sx") >= col("ylo") && col("min_sx") <= col("yhi"))
