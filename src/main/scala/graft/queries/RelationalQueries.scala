@@ -707,22 +707,31 @@ object RelationalQueries {
   }
 
   def x12ZorderLayout(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     import graft.functions.MortonInterleave.morton_interleave
     val pts = mortonPoints(s, d)
+    // both rect counters ride ONE corpus pass as conditional sums per
+    // rect literal (the x15 shape — a crossJoin with the predicate table
+    // would scan every point once per rect); the z-range bounds are the
+    // morton expression over literal corners, evaluated in-plan so the
+    // Scala side never re-implements the bit interleave
     val rects = Seq(
-        ("aligned_quadrant", 16L, 31L, 16L, 31L, true),
-        ("unaligned_rect", 5L, 40L, 9L, 50L, false))
-      .toDF("rect", "xlo", "xhi", "ylo", "yhi", "aligned")
-      .withColumn("zlo", morton_interleave(col("xlo"), col("ylo")))
-      .withColumn("zhi", morton_interleave(col("xhi"), col("yhi")))
-    pts.crossJoin(broadcast(rects))
-      .groupBy(col("rect"), col("aligned"))
-      .agg(
-        sum(when(col("px").between(col("xlo"), col("xhi")) &&
-          col("sx").between(col("ylo"), col("yhi")), 1L).otherwise(0L)).as("n_rect"),
-        sum(when(col("z").between(col("zlo"), col("zhi")), 1L)
-          .otherwise(0L)).as("n_zrange"))
+      ("aligned_quadrant", 16L, 31L, 16L, 31L, true),
+      ("unaligned_rect", 5L, 40L, 9L, 50L, false))
+    val aggs = rects.zipWithIndex.flatMap { case ((_, xlo, xhi, ylo, yhi, _), i) =>
+      Seq(
+        sum(when(col("px").between(xlo, xhi) && col("sx").between(ylo, yhi),
+          1L).otherwise(0L)).as(s"__r$i"),
+        sum(when(col("z").between(
+            morton_interleave(lit(xlo), lit(ylo)),
+            morton_interleave(lit(xhi), lit(yhi))), 1L).otherwise(0L))
+          .as(s"__z$i"))
+    }
+    val stackArgs = rects.zipWithIndex.map { case ((name, _, _, _, _, al), i) =>
+      s"'$name', $al, __r$i, __z$i"
+    }.mkString(", ")
+    pts.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${rects.size}, $stackArgs)")
+        .as(Seq("rect", "aligned", "n_rect", "n_zrange")))
       .select(col("rect"), col("n_rect"), col("n_zrange"),
         (col("n_rect") <= col("n_zrange")).as("superset_ok"),
         (!col("aligned") || (col("n_rect") === col("n_zrange"))).as("exact_ok"),
