@@ -437,8 +437,16 @@ object TextOps {
     // the unigram/vocab statistics (coalescing to '' would inject an ''
     // token and shift every doc's smoothed log-prob); its output row is
     // restored by the final left join instead
-    val toks = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("__t"))
+    // the doc-keyed exchange the per-doc bigram aggregate needs anyway is
+    // moved IN FRONT of the tokenize (a1's single-exchange idiom): raw
+    // text rows shuffle (smaller than the exploded bigram partials they
+    // replace), tokenize runs at full session parallelism instead of the
+    // scan's width, and HashPartitioning(doc_id) — preserved through the
+    // checkpoint — satisfies the (doc_id, w1, w2) aggregate's clustering
+    // by the subset rule, so the post-explode exchange disappears
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__t"))
       .localCheckpoint(true)
     val dbf = toks
       .select(col("doc_id"),
