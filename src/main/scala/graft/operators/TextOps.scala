@@ -391,7 +391,9 @@ object TextOps {
     * decimals — the per-doc mean is order-independent under any
     * partitioning (double addition is not associative; decimal is). */
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs
+    // doc-keyed exchange fronted before the tokenize (see bigramLmScore):
+    // same exchange count, full-parallel tokenize, no post-explode shuffle
+    val tf = docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
