@@ -516,7 +516,11 @@ object TextQueries {
     * cannot. */
   def t9Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // doc-keyed exchange fronted before the tokenize (TextOps.bigramLmScore's
+    // idiom): the (doc, term) tf aggregate needs it anyway, the explode runs
+    // at full parallelism, and no post-explode exchange remains
+    val terms = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -551,7 +555,9 @@ object TextQueries {
     * on the exact decimal-sum score. */
   def t18Bm25(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tf = docs
+    // fronted doc-keyed exchange (t9's idiom); dl's per-doc re-sum then
+    // ALSO inherits the partitioning and runs exchange-free
+    val tf = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -594,6 +600,9 @@ object TextQueries {
     * map-side partials collapse both shuffles to cardinalities. */
   def t10Repetition(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // fronted doc-keyed exchange (t9's idiom): both per-doc aggregates
+      // below then run exchange-free
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
