@@ -34,25 +34,38 @@ object ModelStore {
   /** Persist a trained coarse+PQ model (the [[Similarity.coarsePqModels]]
     * quadruple) under `dir`, one parquet table per part plus geometry
     * metadata. Overwrites any previous model at that path atomically per
-    * table (parquet overwrite semantics). The five tables land on
+    * table (parquet overwrite semantics). The four data tables land on
     * independent paths, so their write JOBS run concurrently (one driver
     * thread each — Spark schedules concurrent jobs fine); serializing
-    * them would stack five small-job latencies for no isolation gain. */
+    * them would stack four small-job latencies for no isolation gain.
+    * `meta` is the COMMIT MARKER: it is written serially, only after
+    * every data write has been joined and found successful — so a
+    * failed or interrupted save can never leave a fresh meta beside
+    * stale/partial data tables ([[loadCoarsePq]]'s geometry fail-fast
+    * would otherwise validate a mixed model). All four outcomes are
+    * collected before rethrowing (no fail-fast `Future.sequence`): by
+    * the time the first failure surfaces, no sibling overwrite of the
+    * same paths is still in flight, so a caller's retry cannot race it.
+    * The Spark actions run under `blocking` so the default pool grows
+    * past its cores-sized floor instead of serializing the writes. */
   def saveCoarsePq(
       dir: String, assigned: DataFrame, centroids: DataFrame,
       codes: DataFrame, books: DataFrame,
       m: Int, k: Int, coarseK: Int, dims: Int): Unit = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.Try
     val spark = assigned.sparkSession
     import spark.implicits._
-    val meta = Seq((m, k, coarseK, dims)).toDF("m", "k", "coarse_k", "dims")
-    val writes = (Seq(assigned, centroids, codes, books).zip(parts) :+
-      (meta, "meta")).map { case (df, name) =>
-      Future { df.write.mode("overwrite").parquet(s"$dir/$name") }
-    }
-    Await.result(Future.sequence(writes), Duration.Inf)
+    val writes = Seq(assigned, centroids, codes, books).zip(parts)
+      .map { case (df, name) =>
+        Future(blocking { Try(df.write.mode("overwrite").parquet(s"$dir/$name")) })
+      }
+    val outcomes = Await.result(Future.sequence(writes), Duration.Inf)
+    outcomes.foreach(_.get) // all writes quiesced; now surface any failure
+    Seq((m, k, coarseK, dims)).toDF("m", "k", "coarse_k", "dims")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load a stored model: (assigned, centroids, codes, books). Validates

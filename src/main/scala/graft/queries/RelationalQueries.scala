@@ -698,7 +698,7 @@ object RelationalQueries {
       .cast("long") % 64
 
   /** lineitem as a 64×64 hashed point cloud with its Morton key. */
-  private def mortonPoints(s: SparkSession, d: String): DataFrame = {
+  private[queries] def mortonPoints(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MortonInterleave.morton_interleave
     Tables.lineitem(s, d).select(
         hashCoord64(col("l_partkey")).as("px"),
@@ -717,13 +717,17 @@ object RelationalQueries {
     val rects = Seq(
       ("aligned_quadrant", 16L, 31L, 16L, 31L, true),
       ("unaligned_rect", 5L, 40L, 9L, 50L, false))
+    // coalesce(sum, 0): on an EMPTY point cloud the groupless aggregate
+    // still emits one row, and null counts would poison superset_ok /
+    // exact_ok — zero counts keep the row well-typed (efficiency stays
+    // null-by-division, honestly undefined on no data)
     val aggs = rects.zipWithIndex.flatMap { case ((_, xlo, xhi, ylo, yhi, _), i) =>
       Seq(
-        sum(when(col("px").between(xlo, xhi) && col("sx").between(ylo, yhi),
-          1L).otherwise(0L)).as(s"__r$i"),
-        sum(when(col("z").between(
+        coalesce(sum(when(col("px").between(xlo, xhi) && col("sx").between(ylo, yhi),
+          1L).otherwise(0L)), lit(0L)).as(s"__r$i"),
+        coalesce(sum(when(col("z").between(
             morton_interleave(lit(xlo), lit(ylo)),
-            morton_interleave(lit(xhi), lit(yhi))), 1L).otherwise(0L))
+            morton_interleave(lit(xhi), lit(yhi))), 1L).otherwise(0L)), lit(0L))
           .as(s"__z$i"))
     }
     val stackArgs = rects.zipWithIndex.map { case ((name, _, _, _, _, al), i) =>
@@ -793,52 +797,42 @@ object RelationalQueries {
     * pins, per (layout, rect): rows scanned, matching rows, and the
     * soundness boolean — NO matching row lives in a pruned file (the
     * property that makes data skipping a correctness-preserving
-    * optimization). ntile's global sort stands in for the write-time
-    * range partitioner: at scale this is `repartitionByRange(N, z)` when
-    * writing parquet, with the zone maps coming free as parquet footer
-    * min/max stats; the read side is then exactly this overlap test,
-    * applied by the scan before any row is read. */
+    * optimization). The exact-ntile bucketing stands in for the
+    * write-time range partitioner: at scale this is
+    * `repartitionByRange(N, z)` when writing parquet, with the zone maps
+    * coming free as parquet footer min/max stats; the read side is then
+    * exactly this overlap test, applied by the scan before any row is
+    * read. */
   def x15ZonemapPrune(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val nb = 64
-    // The two layouts are INDEPENDENT single-partition ntile sorts of the
-    // same checkpointed point cloud, so each is bucketed in its own frame
-    // and the two materializing jobs run concurrently (one driver thread
-    // each — the d11 pattern); no join-back is needed because every row
-    // carries its own (px, sx). Checkpointing each frame also keeps the
-    // union from re-executing the sort chain per branch (lazy subtrees
-    // are never shared across union branches) — measured, materialization
-    // alone was a ~20% win before the sorts were parallelized. Two
-    // deliberate non-wins, both measured at sf0.1 before settling here:
-    // (a) a layout-tagged union through ONE partitionBy(layout) window —
-    // the sibling sorts do run concurrently, but the downstream zone-map
-    // aggregation then rides the window's 2-partition output and loses
-    // more than the fused sort saves; (b) a fully distributed exact-ntile
-    // (repartitionByRange + per-partition prefix offsets) — identical
-    // output, and the shape this operator takes at real scale (see
-    // below), but at bench scale its extra barrier jobs cost more than
-    // the 600k-row sorts. Equal sort keys are identical points (z is a
-    // bijection of (px, sx)), so tie order can't perturb either layout's
-    // zone maps.
-    // no shared checkpoint of the raw points: mortonPoints is a scan-stage
-    // projection (hash + interleave, no shuffle), and recomputing it inside
-    // each concurrent chain is cheaper than a serial materialization stage
-    // in front of them
-    val pts = mortonPoints(s, d)
+    // The corpus is touched EXACTLY ONCE: the coordinate domain is
+    // bounded BY CONSTRUCTION (hashCoord64 is mod-64, so the plane has
+    // ≤4096 occupied cells at ANY scale factor), so one map-side-
+    // combining aggregate collapses the point cloud to its cell
+    // histogram and BOTH layouts' exact-ntile bucketings become
+    // arithmetic over cumulative cell counts on that ≤4096-row frame
+    // (Layout.histNtileBuckets — multiset-identical to the
+    // ntile-over-global-sort formulation, pinned by LayoutSpec). This
+    // replaces rounds 5-8's two concurrent single-partition ntile sorts
+    // of the full point cloud — the one scale-weak plan in the repo
+    // (ONE task per layout sorting the corpus): now nothing downstream
+    // of the scan grows with data size, and the only shuffle is the
+    // ≤4096-key partial-count exchange. Unbounded sort domains would
+    // route to Layout.rangeNtile (repartitionByRange + prefix offsets,
+    // also spec-pinned) — x15 never needs it because its boundedness is
+    // structural, not data-dependent. Equal sort keys can't occur in
+    // the histogram (z is a bijection of (px, sx), so each layout's
+    // sort key is unique per cell), making the window order total.
+    val hist = mortonPoints(s, d)
+      .groupBy(col("px"), col("sx"), col("z"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // ≤4096 rows; read once per layout
     def layoutOf(tag: String, sortCols: Seq[Column]): DataFrame =
-      pts.withColumn("bucket", ntile(nb).over(Window.orderBy(sortCols: _*)))
-        .select(lit(tag).as("layout"), col("bucket"), col("px"), col("sx"))
-        .localCheckpoint(true)
-    val Seq(zorder, singleCol) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(Seq(
-        Future(layoutOf("zorder", Seq(col("z")))),
-        Future(layoutOf("single_col", Seq(col("px"), col("sx")))))),
-        Duration.Inf)
-    }
-    val layouts = zorder.union(singleCol)
+      graft.operators.Layout.histNtileBuckets(hist, nb, sortCols)
+        .select(lit(tag).as("layout"), col("bucket"), col("px"), col("sx"),
+          col("cnt_in_bucket"))
+    val layouts = layoutOf("zorder", Seq(col("z")))
+      .union(layoutOf("single_col", Seq(col("px"), col("sx"))))
     // zone maps are WRITE-TIME stats — per file, once, predicate-free
     // (parquet footer min/max at real scale). Computing them per rect
     // (the old crossJoin(rects) shape) re-scanned every row once per
@@ -846,13 +840,16 @@ object RelationalQueries {
     // misrepresented the operator: the per-rect ground-truth match counts
     // ride the SAME single pass as conditional sums, and the 2-rows-per-
     // bucket rect dimension unfolds afterwards by a scan-stage stack over
-    // the 128-row zone-map frame. Values are algebraically unchanged.
+    // the 128-row zone-map frame. Values are algebraically unchanged —
+    // per-row counts become cnt_in_bucket-weighted cell sums (every row
+    // of a cell shares its (px, sx), so min/max/count/match aggregates
+    // over cells equal the same aggregates over rows).
     val rects = Seq(
       ("aligned_quadrant", 16L, 31L, 16L, 31L),
       ("unaligned_rect", 5L, 40L, 9L, 50L))
     val matchCols = rects.zipWithIndex.map { case ((_, xlo, xhi, ylo, yhi), i) =>
       sum(when(col("px").between(xlo, xhi) && col("sx").between(ylo, yhi),
-        1L).otherwise(0L)).as(s"__m$i")
+        col("cnt_in_bucket")).otherwise(0L)).as(s"__m$i")
     }
     val stackArgs = rects.zipWithIndex.map { case ((name, xlo, xhi, ylo, yhi), i) =>
       s"'$name', ${xlo}L, ${xhi}L, ${ylo}L, ${yhi}L, __m$i"
@@ -862,7 +859,7 @@ object RelationalQueries {
       .agg(min(col("px")).as("min_px"),
         (Seq(max(col("px")).as("max_px"),
           min(col("sx")).as("min_sx"), max(col("sx")).as("max_sx"),
-          count(lit(1)).as("n_rows")) ++ matchCols): _*)
+          sum(col("cnt_in_bucket")).as("n_rows")) ++ matchCols): _*)
       .select(col("layout"), col("bucket"), col("min_px"), col("max_px"),
         col("min_sx"), col("max_sx"), col("n_rows"),
         expr(s"stack(${rects.size}, $stackArgs)")

@@ -214,10 +214,12 @@ object TextQueries {
       (c, verified(c).agg(count(lit(1)).as("n_verified")).localCheckpoint(true))
     }
     val Seq((c4, v4), (c2, v2)) = {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(Seq(4, 2).map(r => Future(chain(r)))),
+      // `blocking` lets the cores-sized default pool grow instead of
+      // serializing the two chains on a low-core host
+      Await.result(Future.sequence(Seq(4, 2).map(r => Future(blocking(chain(r))))),
         Duration.Inf)
     }
     def stats(nb: Long, rpb: Long, c: DataFrame, v: DataFrame): DataFrame =

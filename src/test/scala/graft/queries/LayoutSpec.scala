@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.operators.Layout
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins both scale-safe exact-ntile paths ([[Layout.histNtileBuckets]],
+  * [[Layout.rangeNtile]]) against the window-ntile reference — the
+  * single-partition `ntile(nb).over(Window.orderBy(...))` formulation
+  * they replace (x15's pre-round-9 shape, the one scale-weak plan in the
+  * repo). Identity is checked at the strongest granularity the layout
+  * semantics define: the per-(cell, bucket) row-count map, on the REAL
+  * x15 point cloud (both sort keys) and on synthetic edge geometries
+  * (n < nb, n divisible by nb, n with remainder, single-row buckets). */
+class LayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val nb = 64
+
+  /** Reference: per-(cell, bucket) counts under the window ntile. */
+  private def windowRef(pts: DataFrame, sortCols: Seq[Column]): Array[(Long, Long, Int, Long)] =
+    pts.withColumn("bucket", ntile(nb).over(Window.orderBy(sortCols: _*)))
+      .groupBy(col("px"), col("sx"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+
+  test("histNtileBuckets reproduces the window ntile on both x15 layouts") {
+    val pts = RelationalQueries.mortonPoints(spark, sf).localCheckpoint(true)
+    val hist = pts.groupBy(col("px"), col("sx"), col("z"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    for (sortCols <- Seq(Seq(col("z")), Seq(col("px"), col("sx")))) {
+      val got = Layout.histNtileBuckets(hist, nb, sortCols)
+        .select(col("px"), col("sx"), col("bucket"), col("cnt_in_bucket"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(got.toSeq == windowRef(pts, sortCols).toSeq,
+        s"hist ntile diverged from window ntile on sort ${sortCols.mkString(",")}")
+    }
+  }
+
+  test("rangeNtile reproduces the window ntile on both x15 layouts") {
+    val pts = RelationalQueries.mortonPoints(spark, sf).localCheckpoint(true)
+    for (sortCols <- Seq(Seq(col("z")), Seq(col("px"), col("sx")))) {
+      val got = Layout.rangeNtile(pts, nb, sortCols, parts = 7)
+        .groupBy(col("px"), col("sx"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(got.toSeq == windowRef(pts, sortCols).toSeq,
+        s"range ntile diverged from window ntile on sort ${sortCols.mkString(",")}")
+    }
+  }
+
+  test("edge geometries: n<nb, n==nb, divisible, remainder, heavy ties") {
+    import spark.implicits._
+    // (px, sx) synthetic cells; z mirrors px so one sort key suffices.
+    // counts chosen to straddle bucket boundaries: a 40-row cell in a
+    // 100-row corpus under nb=64 spans many single-row buckets.
+    val geometries = Seq(
+      Seq.fill(10)(1L) ++ Seq.fill(40)(2L) ++ Seq.fill(50)(3L), // n=100, rem=36
+      (1L to 64L),                                              // n=nb, one row each
+      Seq.fill(128)(5L) ++ Seq.fill(64)(9L),                    // n=192, divisible
+      Seq(1L, 2L, 3L))                                          // n<nb
+    for (rows <- geometries) {
+      val pts = rows.map(p => (p, p % 7, p)).toDF("px", "sx", "z")
+        .localCheckpoint(true)
+      val hist = pts.groupBy(col("px"), col("sx"), col("z"))
+        .agg(count(lit(1)).as("cnt"))
+      val ref = windowRef(pts, Seq(col("z")))
+      val gotHist = Layout.histNtileBuckets(hist, nb, Seq(col("z")))
+        .select(col("px"), col("sx"), col("bucket"), col("cnt_in_bucket"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(gotHist.toSeq == ref.toSeq, s"hist ntile wrong on n=${rows.size}")
+      val gotRange = Layout.rangeNtile(pts, nb, Seq(col("z")), parts = 3)
+        .groupBy(col("px"), col("sx"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(gotRange.toSeq == ref.toSeq, s"range ntile wrong on n=${rows.size}")
+    }
+  }
+
+  test("x15 output is identical under hist-ntile and the window-ntile reference") {
+    // end-to-end twin of the committed gate: rebuild x15's final frame
+    // from the window-ntile layout and compare row-for-row — the
+    // round-9 plan change must be invisible in the output
+    val got = RelationalQueries.x15ZonemapPrune(spark, sf).collect().map(_.toSeq)
+    val pts = RelationalQueries.mortonPoints(spark, sf).localCheckpoint(true)
+    def layoutOf(tag: String, sortCols: Seq[Column]): DataFrame =
+      pts.withColumn("bucket", ntile(nb).over(Window.orderBy(sortCols: _*)))
+        .select(lit(tag).as("layout"), col("bucket"), col("px"), col("sx"))
+    val layouts = layoutOf("zorder", Seq(col("z")))
+      .union(layoutOf("single_col", Seq(col("px"), col("sx"))))
+    val rects = Seq(
+      ("aligned_quadrant", 16L, 31L, 16L, 31L),
+      ("unaligned_rect", 5L, 40L, 9L, 50L))
+    val matchCols = rects.zipWithIndex.map { case ((_, xlo, xhi, ylo, yhi), i) =>
+      sum(when(col("px").between(xlo, xhi) && col("sx").between(ylo, yhi),
+        1L).otherwise(0L)).as(s"__m$i")
+    }
+    val stackArgs = rects.zipWithIndex.map { case ((name, xlo, xhi, ylo, yhi), i) =>
+      s"'$name', ${xlo}L, ${xhi}L, ${ylo}L, ${yhi}L, __m$i"
+    }.mkString(", ")
+    val perBucket = layouts
+      .groupBy(col("layout"), col("bucket"))
+      .agg(min(col("px")).as("min_px"),
+        (Seq(max(col("px")).as("max_px"),
+          min(col("sx")).as("min_sx"), max(col("sx")).as("max_sx"),
+          count(lit(1)).as("n_rows")) ++ matchCols): _*)
+      .select(col("layout"), col("bucket"), col("min_px"), col("max_px"),
+        col("min_sx"), col("max_sx"), col("n_rows"),
+        expr(s"stack(${rects.size}, $stackArgs)")
+          .as(Seq("rect", "xlo", "xhi", "ylo", "yhi", "n_match")))
+      .withColumn("touched",
+        col("max_px") >= col("xlo") && col("min_px") <= col("xhi") &&
+          col("max_sx") >= col("ylo") && col("min_sx") <= col("yhi"))
+    val ref = perBucket.groupBy(col("layout"), col("rect"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("touched"), 1L).otherwise(0L)).as("files_touched"),
+        sum(when(col("touched"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("n_match"),
+        (sum(when(!col("touched"), col("n_match")).otherwise(0L)) === 0L)
+          .as("sound_ok"))
+      .orderBy(col("layout"), col("rect"))
+      .collect().map(_.toSeq)
+    assert(got.toSeq == ref.toSeq, "x15 output changed under the hist-ntile plan")
+  }
+}

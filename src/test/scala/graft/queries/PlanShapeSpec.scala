@@ -94,15 +94,41 @@ class PlanShapeSpec extends SparkSpec {
     // bare scan (20.6 s vs 18.9 s over the 16 affected queries; SCALE.md
     // §Scan edge) — the extra exchange per scan costs more than the
     // parallelism it buys, and at 100 TB a load-edge repartition of the
-    // corpus would be a pure pessimization. Compute-heavy queries that
-    // need fan-out opt in per-plan (Relational.fanout). This pins the
-    // rejected decoration so it can't silently return.
+    // corpus would be a pure pessimization. Compute-heavy scan stages
+    // apply their own inline repartition (e.g. shingleFrame);
+    // Relational.fanout remains only as an escape hatch with no current
+    // call sites. This pins the rejected decoration so it can't silently
+    // return.
     for (t <- Seq("lineitem", "events", "documents", "embeddings")) {
       val p = graft.Tables.load(spark, sf, t).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("Exchange"),
         s"Tables.load($t) plans an exchange at the scan edge:\n$p")
     }
+  }
+
+  test("x15's layout build never sorts the corpus — cell histogram, then exact-ntile arithmetic") {
+    // round-9 fix of the repo's last scale-weak plan: the pre-round-9
+    // shape sorted the WHOLE point cloud through one task per layout
+    // (ntile over an unpartitioned window). Now the corpus is touched
+    // exactly once, by a map-side-combining cell-histogram aggregate,
+    // and both layouts bucket via Layout.histNtileBuckets arithmetic on
+    // the checkpointed ≤4096-row histogram. Two pins:
+    // (a) the histogram build — the only plan that sees corpus-sized
+    //     data — is scan → partial agg → exchange → final agg, with NO
+    //     Sort and no single-partition exchange;
+    val histPlan = RelationalQueries.mortonPoints(spark, sf)
+      .groupBy("px", "sx", "z").count().queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(histPlan.contains("HashAggregate"), "histogram lost its hash aggregate")
+    assert(!histPlan.contains("Sort"), s"corpus-sized sort in the histogram build:\n$histPlan")
+    assert(!histPlan.contains("SinglePartition"),
+      s"single-partition exchange in the histogram build:\n$histPlan")
+    // (b) the query's own plan (post-checkpoint tail) never re-reads the
+    //     corpus: its windows/sorts run over the histogram RDD only
+    val p = plan("x15_zonemap_prune")
+    assert(!p.contains("Scan parquet"),
+      s"x15's post-histogram plan re-entered the corpus scan:\n$p")
   }
 
   test("NO catalog query plans a CartesianProduct (broadcast NLJ of tiny frames is the only cross-join form)") {
