@@ -256,17 +256,34 @@ object Similarity {
     * Returns (per-vector frame with the projection `proj` and centered
     * self-dot `xx`, both round4'd; the final one-row axis). */
   def pcaPower(corpus: DataFrame, rounds: Int, dims: Int): (DataFrame, DataFrame) = {
-    val spark = corpus.sparkSession
+    val centered = pcaCentered(corpus, dims)
+    val ax = pcaTrainAxis(centered, rounds, dims)
+    val axLit = array(ax.toIndexedSeq.map(lit(_)): _*)
+    (pcaProjectFrom(centered, ax),
+      corpus.sparkSession.range(1).select(axLit.as("ax")))
+  }
+
+  /** [[pcaPower]]'s centering stage alone: (vec_id, x) with x the
+    * round4'd-mean-centered embedding, localCheckpoint'd — the frame the
+    * training rounds and the projection both scan. */
+  def pcaCentered(corpus: DataFrame, dims: Int): DataFrame = {
     val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val mu = vecs.agg(array((1 to dims).map(i =>
       Relational.round4(avg(element_at(col("v"), i)))): _*).as("mu"))
-    val centered = vecs.crossJoin(broadcast(mu))
+    vecs.crossJoin(broadcast(mu))
       .select(col("vec_id"),
         zip_with(col("v"), col("mu"), (a, b) => a - b).as("x"))
       .localCheckpoint(true)
+  }
+
+  /** [[pcaPower]]'s training rounds alone: the dominant axis after
+    * `rounds` covariance-action aggregates over a [[pcaCentered]] frame.
+    * The axis is a d-double model constant (driver-held, like a loaded
+    * model's metadata) — each round is ONE aggregate job. */
+  def pcaTrainAxis(centered: DataFrame, rounds: Int, dims: Int): Array[Double] = {
     var ax: Array[Double] = Array.fill(dims)(0.125)
-    def axLit = array(ax.toIndexedSeq.map(lit(_)): _*)
     for (_ <- 1 to rounds) {
+      val axLit = array(ax.toIndexedSeq.map(lit(_)): _*)
       ax = centered
         .withColumn("s", dot(col("x"), axLit))
         .agg(array((1 to dims).map(i =>
@@ -275,11 +292,17 @@ object Similarity {
           wj => Relational.round4(wj / sqrt(dot(col("w"), col("w"))))).as("ax"))
         .head().getSeq[Double](0).toArray
     }
-    val projected = centered
-      .select(col("vec_id"),
-        Relational.round4(dot(col("x"), axLit)).as("proj"),
-        Relational.round4(dot(col("x"), col("x"))).as("xx"))
-    (projected, spark.range(1).select(axLit.as("ax")))
+    ax
+  }
+
+  /** [[pcaPower]]'s projection stage alone: per-vector projection onto a
+    * trained axis plus the centered self-dot (both round4'd) — one scan
+    * of the centered frame with the axis as a literal array. */
+  def pcaProjectFrom(centered: DataFrame, ax: Array[Double]): DataFrame = {
+    val axLit = array(ax.toIndexedSeq.map(lit(_)): _*)
+    centered.select(col("vec_id"),
+      Relational.round4(dot(col("x"), axLit)).as("proj"),
+      Relational.round4(dot(col("x"), col("x"))).as("xx"))
   }
 
   /** Multi-probe IVF ANN over a LEARNED assignment: [[knnIVFMultiProbe]]'s

