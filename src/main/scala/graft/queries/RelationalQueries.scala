@@ -706,14 +706,29 @@ object RelationalQueries {
       .withColumn("z", morton_interleave(col("px"), col("sx")))
   }
 
+  /** Session-memoized cell histogram of the x12/x15 point cloud — the
+    * write-time stats frame both layout gates derive from. The 64×64
+    * hashed domain is bounded BY CONSTRUCTION, so this is ≤4096 rows at
+    * any scale factor, built by ONE map-side-combining corpus pass and
+    * shared across the session like the dedup/edge fixtures (bench
+    * accounting flagged per-row in BENCH_SUMMARY; each oracle still
+    * replays its full chain from parquet). */
+  private[queries] def mortonHist(s: SparkSession, d: String): DataFrame =
+    SessionMemo.memo(s, d, "mortonHist") {
+      mortonPoints(s, d)
+        .groupBy(col("px"), col("sx"), col("z"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+    }
+
   def x12ZorderLayout(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MortonInterleave.morton_interleave
-    val pts = mortonPoints(s, d)
-    // both rect counters ride ONE corpus pass as conditional sums per
-    // rect literal (the x15 shape — a crossJoin with the predicate table
-    // would scan every point once per rect); the z-range bounds are the
-    // morton expression over literal corners, evaluated in-plan so the
-    // Scala side never re-implements the bit interleave
+    // cnt-weighted conditional sums over the shared ≤4096-cell histogram
+    // ([[mortonHist]] — every row of a cell shares (px, sx, z), so
+    // cell-weighted sums equal the old per-row corpus-pass counts); the
+    // z-range bounds are the morton expression over literal corners,
+    // evaluated in-plan so the Scala side never re-implements the bit
+    // interleave
     val rects = Seq(
       ("aligned_quadrant", 16L, 31L, 16L, 31L, true),
       ("unaligned_rect", 5L, 40L, 9L, 50L, false))
@@ -724,16 +739,16 @@ object RelationalQueries {
     val aggs = rects.zipWithIndex.flatMap { case ((_, xlo, xhi, ylo, yhi, _), i) =>
       Seq(
         coalesce(sum(when(col("px").between(xlo, xhi) && col("sx").between(ylo, yhi),
-          1L).otherwise(0L)), lit(0L)).as(s"__r$i"),
+          col("cnt")).otherwise(0L)), lit(0L)).as(s"__r$i"),
         coalesce(sum(when(col("z").between(
             morton_interleave(lit(xlo), lit(ylo)),
-            morton_interleave(lit(xhi), lit(yhi))), 1L).otherwise(0L)), lit(0L))
+            morton_interleave(lit(xhi), lit(yhi))), col("cnt")).otherwise(0L)), lit(0L))
           .as(s"__z$i"))
     }
     val stackArgs = rects.zipWithIndex.map { case ((name, _, _, _, _, al), i) =>
       s"'$name', $al, __r$i, __z$i"
     }.mkString(", ")
-    pts.agg(aggs.head, aggs.tail: _*)
+    mortonHist(s, d).agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${rects.size}, $stackArgs)")
         .as(Seq("rect", "aligned", "n_rect", "n_zrange")))
       .select(col("rect"), col("n_rect"), col("n_zrange"),
@@ -823,10 +838,7 @@ object RelationalQueries {
     // structural, not data-dependent. Equal sort keys can't occur in
     // the histogram (z is a bijection of (px, sx), so each layout's
     // sort key is unique per cell), making the window order total.
-    val hist = mortonPoints(s, d)
-      .groupBy(col("px"), col("sx"), col("z"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // ≤4096 rows; read once per layout
+    val hist = mortonHist(s, d) // shared session fixture, ≤4096 rows
     def layoutOf(tag: String, sortCols: Seq[Column]): DataFrame =
       graft.operators.Layout.histNtileBuckets(hist, nb, sortCols)
         .select(lit(tag).as("layout"), col("bucket"), col("px"), col("sx"),
