@@ -135,10 +135,18 @@ object RelationalQueries {
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+    // dims-first: the enrichment chain collapses to (o_orderkey, r_name,
+    // n_name) BEFORE touching the fact table, so lineitem joins ONCE
+    // against a 3-column frame instead of twice against orders+customer.
+    // No forced broadcast on the orders side: at bench scale AQE
+    // broadcasts the collapsed dims, at 100 TB the li⋈dims join degrades
+    // to the same orderkey shuffle the li⋈o join would have been —
+    // strictly fewer fact-side joins at any scale.
+    val dims = o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("o_orderkey"), col("r_name"), col("n_name"))
+    li.join(dims, li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
@@ -152,9 +160,13 @@ object RelationalQueries {
     val sup = Tables.supplier(s, d)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
+    // dims-first (the jMultiwayRevenue shape): orders⋈customer collapses
+    // to (o_orderkey, c_nationkey) before the fact table joins, so
+    // lineitem pays one dims join + one broadcast supplier join
+    val oc = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
     li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-      .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(oc, li("l_orderkey") === col("o_orderkey"))
       .filter(col("c_nationkey") =!= col("s_nationkey"))
       .groupBy(col("s_suppkey"))
       .agg(count(lit(1)).as("out_cnt"), revenue.as("out_revenue"))
