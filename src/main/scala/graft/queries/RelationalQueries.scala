@@ -373,10 +373,13 @@ object RelationalQueries {
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+    // dims-first (jMultiwayRevenue's shape): one fact-side join against
+    // the collapsed (o_orderkey, r_name, n_name) frame
+    val dims = o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("o_orderkey"), col("r_name"), col("n_name"))
+    li.join(dims, li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .as("__rev"),
