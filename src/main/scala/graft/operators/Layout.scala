@@ -93,7 +93,11 @@ object Layout {
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val n = col("__n")
-    val withRanks = hist
+    // zero-count cells (an empty-but-present domain row) must be dropped,
+    // not just because they occupy no bucket: they'd make __start = __end+1
+    // and `sequence(lo, hi)` with lo > hi DESCENDS (step defaults to -1),
+    // which would fabricate bucket rows instead of none
+    val withRanks = hist.filter(cntCol > 0)
       .withColumn("__end", sum(cntCol).over(run))
       .withColumn("__n", sum(cntCol).over(all))
       .withColumn("__start", col("__end") - cntCol + 1)

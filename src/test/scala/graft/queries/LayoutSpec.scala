@@ -90,6 +90,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("histNtileBuckets drops zero-count cells instead of fabricating buckets") {
+    import spark.implicits._
+    // a cnt=0 domain row makes __start = __end + 1; without the guard,
+    // sequence(lo, hi) with lo > hi DESCENDS and would emit phantom
+    // bucket rows for an empty cell
+    val hist = Seq((1L, 1L, 1L, 30L), (2L, 2L, 2L, 0L), (3L, 3L, 3L, 70L))
+      .toDF("px", "sx", "z", "cnt")
+    val got = Layout.histNtileBuckets(hist, nb, Seq(col("z")))
+      .select(col("px"), col("bucket"), col("cnt_in_bucket"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(!got.exists(_._1 == 2L), "zero-count cell produced bucket rows")
+    assert(got.map(_._3).sum == 100L, "bucket weights must cover exactly the 100 rows")
+    val ref = (Seq.fill(30)((1L, 1L, 1L)) ++ Seq.fill(70)((3L, 3L, 3L)))
+      .toDF("px", "sx", "z")
+    val refMap = windowRef(ref, Seq(col("z"))).map(t => (t._1, t._3) -> t._4).toMap
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap == refMap,
+      "guarded hist ntile diverged from the window reference")
+  }
+
   test("x15 output is identical under hist-ntile and the window-ntile reference") {
     // end-to-end twin of the committed gate: rebuild x15's final frame
     // from the window-ntile layout and compare row-for-row — the
