@@ -743,7 +743,14 @@ object RelationalQueries {
         .localCheckpoint(true)
     }
 
-  def x12ZorderLayout(s: SparkSession, d: String): DataFrame = {
+  def x12ZorderLayout(s: SparkSession, d: String): DataFrame =
+    x12FromHist(mortonHist(s, d))
+
+  /** [[x12ZorderLayout]]'s aggregate over a caller-supplied cell
+    * histogram — factored out so the empty-corpus contract (zero counts,
+    * booleans true, efficiency null) is pinnable without a dataset
+    * (`MortonSpec`). */
+  private[queries] def x12FromHist(hist: DataFrame): DataFrame = {
     import graft.functions.MortonInterleave.morton_interleave
     // cnt-weighted conditional sums over the shared ≤4096-cell histogram
     // ([[mortonHist]] — every row of a cell shares (px, sx, z), so
@@ -756,8 +763,10 @@ object RelationalQueries {
       ("unaligned_rect", 5L, 40L, 9L, 50L, false))
     // coalesce(sum, 0): on an EMPTY point cloud the groupless aggregate
     // still emits one row, and null counts would poison superset_ok /
-    // exact_ok — zero counts keep the row well-typed (efficiency stays
-    // null-by-division, honestly undefined on no data)
+    // exact_ok — zero counts keep the row well-typed; efficiency is
+    // explicitly guarded to null (honestly undefined on no data) because
+    // under ANSI (Spark 4's default) a bare 0/0 division THROWS rather
+    // than nulling
     val aggs = rects.zipWithIndex.flatMap { case ((_, xlo, xhi, ylo, yhi, _), i) =>
       Seq(
         coalesce(sum(when(col("px").between(xlo, xhi) && col("sx").between(ylo, yhi),
@@ -770,14 +779,14 @@ object RelationalQueries {
     val stackArgs = rects.zipWithIndex.map { case ((name, _, _, _, _, al), i) =>
       s"'$name', $al, __r$i, __z$i"
     }.mkString(", ")
-    mortonHist(s, d).agg(aggs.head, aggs.tail: _*)
+    hist.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${rects.size}, $stackArgs)")
         .as(Seq("rect", "aligned", "n_rect", "n_zrange")))
       .select(col("rect"), col("n_rect"), col("n_zrange"),
         (col("n_rect") <= col("n_zrange")).as("superset_ok"),
         (!col("aligned") || (col("n_rect") === col("n_zrange"))).as("exact_ok"),
-        graft.operators.Relational.round4(
-          col("n_rect").cast("double") / col("n_zrange")).as("efficiency"))
+        graft.operators.Relational.round4(when(col("n_zrange") > 0,
+          col("n_rect").cast("double") / col("n_zrange"))).as("efficiency"))
       .orderBy(col("rect"))
   }
 

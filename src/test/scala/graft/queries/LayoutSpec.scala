@@ -111,6 +111,28 @@ class LayoutSpec extends SparkSpec {
       "guarded hist ntile diverged from the window reference")
   }
 
+  test("x12 on an empty corpus: zero counts, booleans true, efficiency null") {
+    // the groupless aggregate still emits one row on empty input; the
+    // coalesce(sum, 0) contract keeps the per-rect counts at 0 (not
+    // null, which would poison the soundness booleans) while efficiency
+    // stays null — honestly undefined with nothing scanned
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("px", LongType), StructField("sx", LongType),
+      StructField("z", LongType), StructField("cnt", LongType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val rows = RelationalQueries.x12FromHist(empty).collect()
+    assert(rows.length == 2, "one row per rect even on empty input")
+    for (r <- rows) {
+      assert(r.getLong(r.fieldIndex("n_rect")) == 0L)
+      assert(r.getLong(r.fieldIndex("n_zrange")) == 0L)
+      assert(r.getBoolean(r.fieldIndex("superset_ok")))
+      assert(r.getBoolean(r.fieldIndex("exact_ok")))
+      assert(r.isNullAt(r.fieldIndex("efficiency")))
+    }
+  }
+
   test("x15 output is identical under hist-ntile and the window-ntile reference") {
     // end-to-end twin of the committed gate: rebuild x15's final frame
     // from the window-ntile layout and compare row-for-row — the
