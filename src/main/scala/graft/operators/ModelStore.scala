@@ -40,9 +40,14 @@ object ModelStore {
     * them would stack four small-job latencies for no isolation gain.
     * `meta` is the COMMIT MARKER: it is written serially, only after
     * every data write has been joined and found successful — so a
-    * failed or interrupted save can never leave a fresh meta beside
-    * stale/partial data tables ([[loadCoarsePq]]'s geometry fail-fast
-    * would otherwise validate a mixed model). All four outcomes are
+    * failed or interrupted save can never leave a FRESH meta beside
+    * stale/partial data tables. Scope of the guarantee: it protects
+    * geometry-CHANGING saves (the case [[loadCoarsePq]]'s fail-fast can
+    * detect). Overwriting a model with the SAME geometry is not
+    * crash-atomic — a save that dies mid-overwrite leaves the old meta
+    * validating partial data; a deployment retraining in place at the
+    * same geometry needs write-to-new-dir-then-swap on top of this
+    * (parquet overwrite is per-table, not per-model). All four outcomes are
     * collected before rethrowing (no fail-fast `Future.sequence`): by
     * the time the first failure surfaces, no sibling overwrite of the
     * same paths is still in flight, so a caller's retry cannot race it.

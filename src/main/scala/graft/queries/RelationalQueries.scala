@@ -126,9 +126,13 @@ object RelationalQueries {
   }
 
   /** 4-way enrichment join pipeline (SURVEY §2.4 J5-J8): lineitem ⋈ orders ⋈
-    * customer ⋈ nation ⋈ region rolled up by region/nation. Catalyst plans
-    * broadcast joins for all dimension sides; the only shuffle is the final
-    * aggregate exchange — exactly the plan you'd want at 100 TB. */
+    * customer ⋈ nation ⋈ region rolled up by region/nation. Dims-first
+    * (round 9): the enrichment chain collapses to a narrow keyed frame
+    * before touching the fact table, so lineitem sees exactly ONE join.
+    * nation/region broadcast by hint (structurally tiny); the orders side
+    * is deliberately NOT hinted — at bench scale AQE broadcasts the
+    * collapsed dims anyway, at 100 TB li⋈dims becomes the one orderkey
+    * shuffle the plan genuinely needs (see the inline comment). */
   def jMultiwayRevenue(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
@@ -737,11 +741,18 @@ object RelationalQueries {
     * replays its full chain from parquet). */
   private[queries] def mortonHist(s: SparkSession, d: String): DataFrame =
     SessionMemo.memo(s, d, "mortonHist") {
-      mortonPoints(s, d)
-        .groupBy(col("px"), col("sx"), col("z"))
-        .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+      mortonHistBuild(s, d).localCheckpoint(true)
     }
+
+  /** The histogram build EXPRESSION the fixture checkpoints — the only
+    * plan in the x12/x15 family that sees corpus-sized data. Exposed
+    * separately so `PlanShapeSpec` pins the PRODUCTION plan (scan →
+    * partial agg → exchange → final agg, no Sort, no single-partition
+    * stage), not a reconstruction that could drift from it. */
+  private[queries] def mortonHistBuild(s: SparkSession, d: String): DataFrame =
+    mortonPoints(s, d)
+      .groupBy(col("px"), col("sx"), col("z"))
+      .agg(count(lit(1)).as("cnt"))
 
   def x12ZorderLayout(s: SparkSession, d: String): DataFrame =
     x12FromHist(mortonHist(s, d))

@@ -116,9 +116,11 @@ class PlanShapeSpec extends SparkSpec {
     // the checkpointed ≤4096-row histogram. Two pins:
     // (a) the histogram build — the only plan that sees corpus-sized
     //     data — is scan → partial agg → exchange → final agg, with NO
-    //     Sort and no single-partition exchange;
-    val histPlan = RelationalQueries.mortonPoints(spark, sf)
-      .groupBy("px", "sx", "z").count().queryExecution
+    //     Sort and no single-partition exchange; pinned on the
+    //     PRODUCTION expression (mortonHistBuild, exactly what the
+    //     fixture checkpoints), not an inline reconstruction that
+    //     could drift from the code path the gate runs
+    val histPlan = RelationalQueries.mortonHistBuild(spark, sf).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert(histPlan.contains("HashAggregate"), "histogram lost its hash aggregate")
     assert(!histPlan.contains("Sort"), s"corpus-sized sort in the histogram build:\n$histPlan")
