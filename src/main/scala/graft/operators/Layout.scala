@@ -97,8 +97,20 @@ object Layout {
     // not just because they occupy no bucket: they'd make __start = __end+1
     // and `sequence(lo, hi)` with lo > hi DESCENDS (step defaults to -1),
     // which would fabricate bucket rows instead of none
+    //
+    // fail fast on a violated unique-sort-key precondition: a tied key
+    // makes the window order non-total, so WHICH tied cell straddles a
+    // bucket boundary would vary run to run — wrong data, silently. The
+    // lag rides the SAME window spec as the running sums (one WindowExec,
+    // no extra exchange or job), and is folded into __end so column
+    // pruning can't eliminate the check.
+    val key = struct(sortCols: _*)
+    val dupGuard = when(lag(key, 1).over(w) === key,
+      raise_error(lit(
+        "histNtileBuckets: sort keys must be unique across hist rows"))
+        .cast("long")).otherwise(lit(0L))
     val withRanks = hist.filter(cntCol > 0)
-      .withColumn("__end", sum(cntCol).over(run))
+      .withColumn("__end", sum(cntCol).over(run) + dupGuard)
       .withColumn("__n", sum(cntCol).over(all))
       .withColumn("__start", col("__end") - cntCol + 1)
     withRanks

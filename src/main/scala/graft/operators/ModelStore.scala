@@ -60,15 +60,24 @@ object ModelStore {
     import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.util.Try
     val spark = assigned.sparkSession
     import spark.implicits._
+    // the outcome is materialized with a catch-ALL, not scala.util.Try:
+    // Try only catches NonFatal, so e.g. an InterruptedException would
+    // fail its Future, make Future.sequence fail fast, and rethrow from
+    // Await while sibling overwrites are still in flight — the exact
+    // retry race the quiesce-before-rethrow contract rules out. Every
+    // write future here always SUCCEEDS (with Option[Throwable]), so
+    // the sequence can only return after all four writes have quiesced.
     val writes = Seq(assigned, centroids, codes, books).zip(parts)
       .map { case (df, name) =>
-        Future(blocking { Try(df.write.mode("overwrite").parquet(s"$dir/$name")) })
+        Future(blocking {
+          try { df.write.mode("overwrite").parquet(s"$dir/$name"); None }
+          catch { case t: Throwable => Some(t) }
+        })
       }
     val outcomes = Await.result(Future.sequence(writes), Duration.Inf)
-    outcomes.foreach(_.get) // all writes quiesced; now surface any failure
+    outcomes.flatten.foreach(t => throw t) // all writes quiesced; surface any failure
     Seq((m, k, coarseK, dims)).toDF("m", "k", "coarse_k", "dims")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }

@@ -760,7 +760,7 @@ object RelationalQueries {
   /** [[x12ZorderLayout]]'s aggregate over a caller-supplied cell
     * histogram — factored out so the empty-corpus contract (zero counts,
     * booleans true, efficiency null) is pinnable without a dataset
-    * (`MortonSpec`). */
+    * (`LayoutSpec`). */
   private[queries] def x12FromHist(hist: DataFrame): DataFrame = {
     import graft.functions.MortonInterleave.morton_interleave
     // cnt-weighted conditional sums over the shared ≤4096-cell histogram
@@ -887,6 +887,16 @@ object RelationalQueries {
           col("cnt_in_bucket"))
     val layouts = layoutOf("zorder", Seq(col("z")))
       .union(layoutOf("single_col", Seq(col("px"), col("sx"))))
+    x15FromLayouts(layouts)
+  }
+
+  /** [[x15ZonemapPrune]]'s zone-map tail over a caller-supplied layouts
+    * frame `(layout, bucket, px, sx, cnt_in_bucket)` — factored out (the
+    * [[x12FromHist]] move) so `LayoutSpec`'s end-to-end twin drives THIS
+    * tail with only the layout stage swapped for the window-ntile
+    * reference (per-row layouts pass `cnt_in_bucket = 1`), instead of a
+    * hand-copied reconstruction that could drift from the gate. */
+  private[queries] def x15FromLayouts(layouts: DataFrame): DataFrame = {
     // zone maps are WRITE-TIME stats — per file, once, predicate-free
     // (parquet footer min/max at real scale). Computing them per rect
     // (the old crossJoin(rects) shape) re-scanned every row once per

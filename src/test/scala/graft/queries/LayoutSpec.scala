@@ -111,6 +111,22 @@ class LayoutSpec extends SparkSpec {
       "guarded hist ntile diverged from the window reference")
   }
 
+  test("histNtileBuckets fails fast on duplicate sort keys") {
+    import spark.implicits._
+    // a tied sort key makes the window order non-total: WHICH tied cell
+    // straddles a bucket boundary would vary run to run — wrong data,
+    // silently. The in-plan guard (lag over the same WindowExec) must
+    // surface it as an error instead.
+    val hist = Seq((1L, 1L, 5L, 10L), (2L, 2L, 5L, 20L), (3L, 3L, 7L, 30L))
+      .toDF("px", "sx", "z", "cnt")
+    val e = intercept[Exception](
+      Layout.histNtileBuckets(hist, nb, Seq(col("z"))).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("sort keys must be unique")),
+      s"expected the unique-key guard, got: $e")
+  }
+
   test("x12 on an empty corpus: zero counts, booleans true, efficiency null") {
     // the groupless aggregate still emits one row on empty input; the
     // coalesce(sum, 0) contract keeps the per-rect counts at 0 (not
@@ -134,47 +150,20 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("x15 output is identical under hist-ntile and the window-ntile reference") {
-    // end-to-end twin of the committed gate: rebuild x15's final frame
-    // from the window-ntile layout and compare row-for-row — the
-    // round-9 plan change must be invisible in the output
+    // end-to-end twin of the committed gate: the PRODUCTION zone-map
+    // tail (x15FromLayouts — exactly what the gate runs) is driven by
+    // the window-ntile reference layout (per-row, cnt_in_bucket = 1)
+    // and must match the gate's hist-ntile output row-for-row; only the
+    // layout stage differs, so drift in the shared tail can't hide here
     val got = RelationalQueries.x15ZonemapPrune(spark, sf).collect().map(_.toSeq)
     val pts = RelationalQueries.mortonPoints(spark, sf).localCheckpoint(true)
     def layoutOf(tag: String, sortCols: Seq[Column]): DataFrame =
       pts.withColumn("bucket", ntile(nb).over(Window.orderBy(sortCols: _*)))
-        .select(lit(tag).as("layout"), col("bucket"), col("px"), col("sx"))
+        .select(lit(tag).as("layout"), col("bucket"), col("px"), col("sx"),
+          lit(1L).as("cnt_in_bucket"))
     val layouts = layoutOf("zorder", Seq(col("z")))
       .union(layoutOf("single_col", Seq(col("px"), col("sx"))))
-    val rects = Seq(
-      ("aligned_quadrant", 16L, 31L, 16L, 31L),
-      ("unaligned_rect", 5L, 40L, 9L, 50L))
-    val matchCols = rects.zipWithIndex.map { case ((_, xlo, xhi, ylo, yhi), i) =>
-      sum(when(col("px").between(xlo, xhi) && col("sx").between(ylo, yhi),
-        1L).otherwise(0L)).as(s"__m$i")
-    }
-    val stackArgs = rects.zipWithIndex.map { case ((name, xlo, xhi, ylo, yhi), i) =>
-      s"'$name', ${xlo}L, ${xhi}L, ${ylo}L, ${yhi}L, __m$i"
-    }.mkString(", ")
-    val perBucket = layouts
-      .groupBy(col("layout"), col("bucket"))
-      .agg(min(col("px")).as("min_px"),
-        (Seq(max(col("px")).as("max_px"),
-          min(col("sx")).as("min_sx"), max(col("sx")).as("max_sx"),
-          count(lit(1)).as("n_rows")) ++ matchCols): _*)
-      .select(col("layout"), col("bucket"), col("min_px"), col("max_px"),
-        col("min_sx"), col("max_sx"), col("n_rows"),
-        expr(s"stack(${rects.size}, $stackArgs)")
-          .as(Seq("rect", "xlo", "xhi", "ylo", "yhi", "n_match")))
-      .withColumn("touched",
-        col("max_px") >= col("xlo") && col("min_px") <= col("xhi") &&
-          col("max_sx") >= col("ylo") && col("min_sx") <= col("yhi"))
-    val ref = perBucket.groupBy(col("layout"), col("rect"))
-      .agg(count(lit(1)).as("n_files"),
-        sum(when(col("touched"), 1L).otherwise(0L)).as("files_touched"),
-        sum(when(col("touched"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
-        sum(col("n_match")).as("n_match"),
-        (sum(when(!col("touched"), col("n_match")).otherwise(0L)) === 0L)
-          .as("sound_ok"))
-      .orderBy(col("layout"), col("rect"))
+    val ref = RelationalQueries.x15FromLayouts(layouts)
       .collect().map(_.toSeq)
     assert(got.toSeq == ref.toSeq, "x15 output changed under the hist-ntile plan")
   }
