@@ -41,6 +41,32 @@ class ModelStoreSpec extends SparkSpec {
     assert(served == expect, "reloaded-model search diverges from the training run")
   }
 
+  test("a failed part write leaves meta untouched: the commit marker never validates a partial save") {
+    val docs = planted
+    val (assigned, centroids, codes, books) =
+      Similarity.coarsePqModels(docs, 2, 2, 2, 2, 2, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, assigned, centroids, codes, books, 2, 2, 2, 4)
+
+    // second save at a DIFFERENT geometry whose "assigned" frame throws at
+    // execution time (ANSI 1/0): the save must surface the failure and must
+    // NOT write the new meta — meta is the commit marker, written only after
+    // every part write succeeded
+    val poisoned = spark.range(2)
+      .select(($"id" / ($"id" - lit(1))).as("v"))
+    val thrown = intercept[Throwable] {
+      ModelStore.saveCoarsePq(dir, poisoned.toDF(), centroids, codes, books, 4, 2, 2, 4)
+    }
+    assert(thrown != null)
+
+    // the stored meta still carries the OLD geometry, so a caller expecting
+    // the new geometry fails fast instead of searching a partial model
+    val e = intercept[IllegalArgumentException] {
+      ModelStore.loadCoarsePq(spark, dir, 4, 2, 2, 4)
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
   test("loading with mismatched geometry fails fast") {
     val docs = planted
     val (assigned, centroids, codes, books) =
