@@ -473,6 +473,17 @@ object TextOps {
     // result back — t15's window-over-tf trick would instead SORT the full
     // per-doc bigram frame by (w1,w2), which is the plan's only large sort
     val bc = dbf.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("bc"))
+    // Measured NON-WIN (round 9, interleaved A/B, bit-identical output):
+    // pre-folding bc ⋈ uf ⋈ V into a vocabulary-sized lp table so dbf
+    // rides ONE join — strictly fewer big-frame exchanges at corpus scale
+    // where the vocabulary no longer broadcasts — lost at bench scale
+    // (t19 mins 2.52 vs 2.11 s over 6/5 alternations, identical t15
+    // control mins): the lp table adds a materialization barrier where
+    // AQE already broadcasts both small sides into one fused stage of
+    // consecutive hash joins. Revisit only for corpora whose bigram
+    // vocabulary exceeds the broadcast threshold; the two-join shape
+    // below stays a constant-factor (2 vs 1 exchange) cost, not a
+    // single-task cliff.
     val agg = dbf
       .join(bc, Seq("w1", "w2"))
       .join(uf, Seq("w1"))
