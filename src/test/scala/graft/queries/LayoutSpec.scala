@@ -90,6 +90,45 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("randomized geometries × bucket counts match the window ntile (seeded)") {
+    import spark.implicits._
+    // every other case in this suite runs at nb=64; the closed-form
+    // bucket arithmetic (fat region = the first n%nb buckets, one extra
+    // row each) takes DIFFERENT branches as nb varies relative to n and
+    // to the cell sizes, so sweep both with a seeded generator: small
+    // prime nb against big cells (one cell straddles many buckets),
+    // big nb against few rows (q=0, all-fat region), and mixtures.
+    val rng = new scala.util.Random(42)
+    val nbs = Seq(2, 3, 5, 7, 17, 31, 64, 100)
+    for (nbx <- nbs) {
+      val nCells = 1 + rng.nextInt(40)
+      val counts = Seq.fill(nCells)(1L + rng.nextInt(if (rng.nextBoolean()) 9 else 120))
+      val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c.toInt)((i.toLong + 1, (i.toLong + 1) % 7, i.toLong + 1))
+      }
+      val pts = rows.toDF("px", "sx", "z").localCheckpoint(true)
+      val ref = pts
+        .withColumn("bucket", ntile(nbx).over(Window.orderBy(col("z"))))
+        .groupBy(col("px"), col("bucket")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val hist = pts.groupBy(col("px"), col("sx"), col("z"))
+        .agg(count(lit(1)).as("cnt"))
+      val gotHist = Layout.histNtileBuckets(hist, nbx, Seq(col("z")))
+        .select(col("px"), col("bucket"), col("cnt_in_bucket"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(gotHist.toSeq == ref.toSeq,
+        s"hist ntile diverged at nb=$nbx, cells=$counts")
+      val gotRange = Layout.rangeNtile(pts, nbx, Seq(col("z")), parts = 3)
+        .groupBy(col("px"), col("bucket")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(gotRange.toSeq == ref.toSeq,
+        s"range ntile diverged at nb=$nbx, cells=$counts")
+    }
+  }
+
   test("histNtileBuckets drops zero-count cells instead of fabricating buckets") {
     import spark.implicits._
     // a cnt=0 domain row makes __start = __end + 1; without the guard,
