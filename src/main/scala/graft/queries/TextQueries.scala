@@ -237,8 +237,12 @@ object TextQueries {
       .crossJoin(broadcast(glob))
       .select(col("n_bands"), col("rows_per_band"),
         col("n_candidates"), col("n_verified"),
+        // ANSI totality on an empty corpus (x12's contract): zero
+        // candidates means precision is undefined — null, not a
+        // DIVIDE_BY_ZERO job failure; non-degenerate output unchanged
         graft.operators.Relational.round4(
-          col("n_verified").cast("double") / col("n_candidates"))
+          when(col("n_candidates") > 0,
+            col("n_verified").cast("double") / col("n_candidates")))
           .as("prec"),
         col("nested_ok"), col("recall_monotone"))
       .orderBy(col("n_bands"))
