@@ -237,7 +237,7 @@ object TextQueries {
       .crossJoin(broadcast(glob))
       .select(col("n_bands"), col("rows_per_band"),
         col("n_candidates"), col("n_verified"),
-        // ANSI totality on an empty corpus (x12's contract): zero
+        // same ANSI empty-corpus convention as x12's round-9 guard: zero
         // candidates means precision is undefined — null, not a
         // DIVIDE_BY_ZERO job failure; non-degenerate output unchanged
         graft.operators.Relational.round4(

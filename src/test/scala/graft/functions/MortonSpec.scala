@@ -31,16 +31,12 @@ class MortonSpec extends SparkSpec {
 
   test("interpreted eval equals codegen equals the Scala helper") {
     val df = Seq((3L, 5L), (65535L, 0L), (12345L, 54321L)).toDF("x", "y")
-    def run(codegen: Boolean): Seq[Long] = {
-      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
-      try df.select(morton_interleave($"x", $"y")).as[Long].collect().toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
-    }
+    def run(): Seq[Long] =
+      df.select(morton_interleave($"x", $"y")).as[Long].collect().toSeq
     val expect = Seq((3L, 5L), (65535L, 0L), (12345L, 54321L))
       .map { case (x, y) => MortonInterleave.interleave16(x, y) }
-    assert(run(codegen = true) == expect)
-    assert(run(codegen = false) == expect)
+    assert(run() == expect)
+    assert(interpreted(run()) == expect) // factoryMode=NO_CODEGEN -> nullSafeEval
   }
 
   test("SQL registration resolves and rejects wrong arity/types") {

@@ -20,14 +20,12 @@ class VecDotSpec extends SparkSpec {
   import spark.implicits._
 
   private def runBoth(df: org.apache.spark.sql.DataFrame): (Seq[java.lang.Double], Seq[java.lang.Double]) = {
-    def run(codegen: Boolean): Seq[java.lang.Double] = {
-      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
-      try df.select(vec_dot(col("a"), col("b")).as("d"))
+    def run(): Seq[java.lang.Double] =
+      df.select(vec_dot(col("a"), col("b")).as("d"))
         .collect().map(r => if (r.isNullAt(0)) null else Double.box(r.getDouble(0))).toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
-    }
-    (run(codegen = true), run(codegen = false))
+    // codegen leg under defaults; interpreted leg via SparkSpec.interpreted
+    // (factoryMode=NO_CODEGEN — the only setting that reaches nullSafeEval)
+    (run(), interpreted(run()))
   }
 
   test("eval equals codegen equals the Scala fold on random vectors") {

@@ -294,16 +294,15 @@ class SimilaritySpec extends SparkSpec {
     val vecs = Seq((0L, Array(1.0, 2.0))).toDF("vec_id", "v")
       .withColumn("dxx", graft.functions.VectorFunctions.vec_dot($"v", $"v"))
     val centsTyped = "array<struct<cluster:int,c:array<double>,dcc:double>>"
-    def run(centsSql: String, codegen: Boolean): (Double, Int) = {
-      val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
-      try {
-        vecs.withColumn("cents", expr(centsSql).cast(centsTyped))
-          .select(graft.functions.VectorFunctions
-            .vec_argmin_cell($"v", $"dxx", $"cents").as("r"))
-          .select($"r.sq", $"r.cluster").as[(Double, Int)].head()
-      } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
-    }
+    def runOnce(centsSql: String): (Double, Int) =
+      vecs.withColumn("cents", expr(centsSql).cast(centsTyped))
+        .select(graft.functions.VectorFunctions
+          .vec_argmin_cell($"v", $"dxx", $"cents").as("r"))
+        .select($"r.sq", $"r.cluster").as[(Double, Int)].head()
+    // cg=true runs under defaults; cg=false forces the genuinely
+    // interpreted projection (SparkSpec.interpreted: NO_CODEGEN)
+    def run(centsSql: String, codegen: Boolean): (Double, Int) =
+      if (codegen) runOnce(centsSql) else interpreted(runOnce(centsSql))
     val mixed = """array(
       cast(null as struct<cluster:int,c:array<double>,dcc:double>),
       named_struct('cluster', 1, 'c', array(1.0D, cast(null as double)), 'dcc', 2.0D),

@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.{SparkSpec, SparkEntry}
-import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.Row
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.{Files, Path, Paths}
 
 /** Partition-count invariance of catalog results — the determinism claim
   * the rounding design (display-round4 before compare, decimal partial
@@ -16,36 +18,60 @@ import java.nio.file.{Files, Paths}
   * the gate's. This spec re-runs the order-sensitive representatives of
   * each family under two partitionings a cluster would actually produce
   * differently (3 vs 13 — both coprime to the data and to local[4]) and
-  * asserts byte-identical rows.
+  * asserts schema-identical, value-identical rows.
   *
-  * The second run reads the SAME parquet bytes through a symlink-alias
+  * BOTH legs read the SAME parquet bytes through their own symlink-alias
   * dataset dir: [[SessionMemo]] keys fixtures by the dataset PATH STRING,
-  * so the alias forces every session fixture (k-means models, PQ
-  * codebooks, PCA axis, dedup chains, layout histograms) to RETRAIN under
-  * the second partitioning — the invariance claim covers training, not
-  * just serving.
+  * and the suite shares one JVM-wide session with every other suite — so
+  * running a leg on the real path would silently reuse fixtures an
+  * earlier suite trained under the default 4 shuffle partitions. A
+  * fresh alias per leg guarantees each side's session fixtures (k-means
+  * models, PQ codebooks, PCA axis, dedup chains, layout histograms)
+  * RETRAIN under exactly that leg's partitioning — the invariance claim
+  * covers training, not just serving.
   */
-class PartitionInvarianceSpec extends SparkSpec {
+class PartitionInvarianceSpec extends SparkSpec with BeforeAndAfterAll {
 
   private val sfReal = "/root/testdata/sf0.001"
 
-  private lazy val sfAlias: String = {
+  private def mkAlias(): Path = {
     val dir = Files.createTempDirectory("graft_sf_alias")
-    dir.toFile.deleteOnExit()
-    Files.list(Paths.get(sfReal)).forEach { p =>
+    // Files.list returns a Stream that holds a directory fd — close it
+    val listing = Files.list(Paths.get(sfReal))
+    try listing.forEach { p =>
       Files.createSymbolicLink(dir.resolve(p.getFileName), p)
-    }
-    dir.toString
+    } finally listing.close()
+    dir
   }
 
-  private def rows(name: String, sf: String, parts: Int): Seq[String] = {
+  private lazy val aliasA: Path = mkAlias()
+  private lazy val aliasB: Path = mkAlias()
+
+  override def afterAll(): Unit = {
+    // deleteOnExit is a no-op on a non-empty dir; remove contents here
+    for (dir <- Seq(aliasA, aliasB)) {
+      val listing = Files.list(dir)
+      try listing.forEach(Files.deleteIfExists(_))
+      finally listing.close()
+      Files.deleteIfExists(dir)
+    }
+    super.afterAll()
+  }
+
+  /** (schema DDL, rows sorted by display form, value multiset). The
+    * comparison is on typed Row values + schema — Row.toString alone
+    * cannot distinguish SQL NULL from the string "null" and erases
+    * nested typing; toString is kept only as a stable sort/report key. */
+  private def rows(name: String, sf: String, parts: Int): (String, Seq[Row], Map[Row, Int]) = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       val df = SparkEntry.queries(name)(spark, sf)
       val cols = df.columns.sorted.toIndexedSeq
-      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-        .collect().map(_.toString).sorted.toIndexedSeq
+      val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      val collected = proj.collect().sortBy(_.toString).toIndexedSeq
+      (proj.schema.toDDL, collected,
+        collected.groupBy(identity).map { case (r, g) => r -> g.size })
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.catalog.clearCache()
@@ -87,13 +113,15 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   for (n <- names)
     test(s"$n is invariant to shuffle partitioning (3-part vs 13-part retrain)") {
-      val a = rows(n, sfReal, 3)
-      val b = rows(n, sfAlias, 13)
-      assert(a.size == b.size, s"$n row count ${a.size} vs ${b.size}")
-      val diff = a.zip(b).zipWithIndex.collectFirst {
-        case ((x, y), i) if x != y => s"row $i:\n  3-part: $x\n  13-part: $y"
+      val (schemaA, rowsA, msA) = rows(n, aliasA.toString, 3)
+      val (schemaB, rowsB, msB) = rows(n, aliasB.toString, 13)
+      assert(schemaA == schemaB, s"$n schema drift: $schemaA vs $schemaB")
+      assert(rowsA.size == rowsB.size, s"$n row count ${rowsA.size} vs ${rowsB.size}")
+      if (msA != msB) {
+        val diff = rowsA.zip(rowsB).zipWithIndex.collectFirst {
+          case ((x, y), i) if x != y => s"row $i:\n  3-part: $x\n  13-part: $y"
+        }
+        fail(s"$n differs across partitionings — ${diff.getOrElse("(multiset diff beyond display form)")}")
       }
-      assert(diff.isEmpty,
-        s"$n differs across partitionings — ${diff.getOrElse("")}")
     }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{SparkSpec, SparkEntry}
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
 
 /** Regression guards for the plan properties the 100 TB design depends on —
   * a correctness gate can't see a plan rot from broadcast to cartesian or
@@ -131,6 +132,74 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("x15_zonemap_prune")
     assert(!p.contains("Scan parquet"),
       s"x15's post-histogram plan re-entered the corpus scan:\n$p")
+  }
+
+  // --- dims-first join-shape pins (round-9 wins; round-10 regression guards) ---
+  // Asserted on the OPTIMIZED LOGICAL plan, not the physical text: at
+  // sf0.001 stats make every join a BroadcastHashJoin, so "one fact-side
+  // shuffle join" is not physically observable at test scale — what IS
+  // scale-independent is the join TREE (the fact leaf participates in
+  // exactly one join because the dimension chain collapsed first) and the
+  // broadcast HINTS on the structurally-tiny sides, which at 100 TB are
+  // exactly what keep the fact table to a single orderkey shuffle.
+
+  private def optimizedPlanOf(name: String): LogicalPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+
+  /** A leaf "is" a table iff it still outputs that table's marker column
+    * (join keys survive column pruning by construction). */
+  private def hasLeaf(p: LogicalPlan, marker: String): Boolean =
+    p.collectLeaves().exists(_.output.exists(_.name == marker))
+
+  private def joinsOf(p: LogicalPlan): Seq[Join] = p.collect { case j: Join => j }
+
+  private def assertBroadcastHinted(joins: Seq[Join], marker: String, who: String): Unit = {
+    val dimJoins = joins.filter(j =>
+      j.right.collectLeaves().size == 1 && hasLeaf(j.right, marker))
+    assert(dimJoins.nonEmpty, s"no join with $who as its sole right side — shape drifted")
+    for (j <- dimJoins)
+      assert(j.hint.rightHint.exists(_.strategy.contains(BROADCAST)),
+        s"$who side lost its broadcast hint: ${j.hint}")
+  }
+
+  test("r1 and j_multiway are dims-first: lineitem rides exactly ONE join; nation/region broadcast") {
+    for (name <- Seq("r1_rollup_revenue", "j_multiway_revenue")) {
+      val joins = joinsOf(optimizedPlanOf(name))
+      val factJoins = joins.filter(hasLeaf(_, "l_orderkey"))
+      assert(factJoins.size == 1,
+        s"$name: lineitem participates in ${factJoins.size} joins — the dims " +
+          s"chain must collapse to (o_orderkey, dims) BEFORE touching the fact table")
+      assertBroadcastHinted(joins, "n_nationkey", s"$name nation")
+      assertBroadcastHinted(joins, "r_regionkey", s"$name region")
+      // and the fact join's dims side is the collapsed orders⋈customer chain,
+      // not a bare orders leaf followed by a second fact-side customer join
+      val dimsSide = factJoins.head.right
+      assert(hasLeaf(dimsSide, "o_orderkey") && hasLeaf(dimsSide, "c_custkey"),
+        s"$name: the single fact join's right side is not the collapsed dims chain")
+    }
+  }
+
+  test("a4 is dims-first: lineitem rides one dims join plus one broadcast-hinted supplier join") {
+    val joins = joinsOf(optimizedPlanOf("a4_out_of_nation"))
+    val factJoins = joins.filter(hasLeaf(_, "l_orderkey"))
+    assert(factJoins.size == 2,
+      s"a4: expected the fact leaf under exactly 2 joins (supplier broadcast + " +
+        s"collapsed orders⋈customer dims), found ${factJoins.size}")
+    assertBroadcastHinted(joins, "s_suppkey", "a4 supplier")
+    // orders⋈customer collapsed off the fact spine: exactly one join has
+    // neither fact leaf nor supplier leaf, and it is the o⋈c dims join
+    val dimsOnly = joins.filterNot(j => hasLeaf(j, "l_orderkey") || hasLeaf(j, "s_suppkey"))
+    assert(dimsOnly.size == 1 &&
+      hasLeaf(dimsOnly.head, "o_orderkey") && hasLeaf(dimsOnly.head, "c_custkey"),
+      "a4: orders⋈customer no longer collapses before the fact join")
+  }
+
+  test("the dims-first family plans broadcast joins and no cartesian at bench scale") {
+    for (name <- Seq("r1_rollup_revenue", "a4_out_of_nation")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: dimension joins should broadcast")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product in the join tree")
+    }
   }
 
   test("NO catalog query plans a CartesianProduct (broadcast NLJ of tiny frames is the only cross-join form)") {
