@@ -421,57 +421,56 @@ object TextOps {
     * A doc with fewer than 2 tokens keeps its row with (0, 0.0) — the
     * keep-the-row contract.
     *
-    * Plan: bigrams form in the scan stage (transform over an index
-    * sequence — no self-join of positions); corpus bigram counts are
-    * t15's window-over-the-tf-aggregate trick (no second aggregate);
-    * unigram context counts join on w1 (vocabulary-keyed — Spark picks
-    * broadcast when the materialized vocab is small, shuffle when a real
-    * corpus's vocabulary isn't); V is a 1-row broadcast. The tokenized
-    * frame is checkpointed ONCE and feeds the bigram chain, the unigram
-    * chain, and the keep-the-row frame — without it Spark re-scans and
-    * re-tokenizes the corpus once per chain (lazy subtrees are never
-    * shared across plan branches), and the un-materialized unigram
-    * aggregate's unknown size made the w1 join build on the WRONG
-    * (bigram) side. Same determinism ladder as t15: rounded log-probs,
-    * decimal accumulation, one final rounded division. */
+    * Plan (round 10, one fused position frame): the previous shape fed
+    * three corpus-scale chains off the tokenize checkpoint — the per-doc
+    * bigram aggregate was computed TWICE (once for the corpus bigram
+    * counts, once for the per-doc fold; lazy subtrees are never shared
+    * across plan branches) and the unigram chain re-exploded the whole
+    * token stream a third time. Now ONE explode emits every position as
+    * (w1 = token, w2 = next-token-or-null-at-doc-tail), one per-doc
+    * aggregate collapses it — with NO exchange: the doc-keyed
+    * partitioning fronted before the tokenize survives the checkpoint
+    * and satisfies the (doc_id, w1, w2) clustering by the subset rule —
+    * and the materialized frame G serves every derived statistic:
+    * dbf = G[w2 nonnull], unigram counts = Σn by w1 (every token
+    * instance appears exactly once as a w1, doc tails included), vocab =
+    * |distinct w1|, corpus bigram counts = Σn by (w1, w2). The corpus is
+    * exploded and aggregated exactly once; everything downstream is
+    * vocabulary- or G-sized. Value-identical to the three-chain shape by
+    * construction, and measured faster at bench scale (round-10
+    * interleaved A/B over 14 alternations, identical results: mins
+    * 1.46 vs 1.66 s). G's checkpoint is the same order as the tokenize
+    * checkpoint it rides behind — at 100 TB both scale with the corpus,
+    * and the fusion trades one materialization for two saved
+    * explode+aggregate passes over it. Same determinism ladder as t15:
+    * rounded log-probs, decimal accumulation, one final rounded
+    * division. */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // NO text coalesce here: a null-text doc must contribute NOTHING to
     // the unigram/vocab statistics (coalescing to '' would inject an ''
     // token and shift every doc's smoothed log-prob); its output row is
     // restored by the final left join instead
-    // the doc-keyed exchange the per-doc bigram aggregate needs anyway is
-    // moved IN FRONT of the tokenize (a1's single-exchange idiom): raw
-    // text rows shuffle (smaller than the exploded bigram partials they
-    // replace), tokenize runs at full session parallelism instead of the
-    // scan's width, and HashPartitioning(doc_id) — preserved through the
-    // checkpoint — satisfies the (doc_id, w1, w2) aggregate's clustering
-    // by the subset rule, so the post-explode exchange disappears
     val toks = docs.repartition(col(idCol))
-      .select(col(idCol).as("doc_id"),
-        tokens(col(textCol)).as("__t"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
       .localCheckpoint(true)
-    val dbf = toks
+    // size-0 guard: sequence(0, -1) DESCENDS and would fabricate rows;
+    // null __t flows to the otherwise-branch, transform(null) -> null,
+    // explode(null) drops the row — null-text docs contribute nothing
+    val g = toks
       .select(col("doc_id"),
-        explode(when(size(col("__t")) < 2,
+        explode(when(size(col("__t")) < 1,
           array().cast("array<struct<w1:string,w2:string>>"))
           .otherwise(expr(
-            "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] as w1, __t[i+1] as w2))")))
-          .as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+            "transform(sequence(0, size(__t) - 1), i -> struct(__t[i] as w1, if(i + 1 < size(__t), __t[i+1], cast(null as string)) as w2))")))
+          .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
-    // explode(null array) drops the row, so null-text docs stay absent
-    // from the unigram stats exactly as they were when this chain
-    // re-tokenized from `docs`
-    val uf = toks
-      .select(explode(col("__t")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+      .localCheckpoint(true)
+    val dbf = g.filter(col("w2").isNotNull)
+    val uf = g.groupBy(col("w1")).agg(sum(col("n")).as("uc"))
       .localCheckpoint(true)
     val vocab = uf.agg(count(lit(1)).as("vocab"))
-    // corpus bigram counts: aggregate dbf down to the (w1,w2) vocabulary
-    // (map-side combine collapses the doc dimension) and join the tiny
-    // result back — t15's window-over-tf trick would instead SORT the full
-    // per-doc bigram frame by (w1,w2), which is the plan's only large sort
     val bc = dbf.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("bc"))
     // Measured NON-WIN (round 9, interleaved A/B, bit-identical output):
     // pre-folding bc ⋈ uf ⋈ V into a vocabulary-sized lp table so dbf
