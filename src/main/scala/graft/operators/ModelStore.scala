@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,47 +13,80 @@ import org.apache.spark.sql.functions._
   *
   * A model is just tables, so the store is just parquet — no registry,
   * no serialization format, engine-portable by construction:
-  *   - `centroids` (cluster, c): the coarse quantizer — k rows.
-  *   - `assigned`  (vec_id, v, dxx, cluster, sq): the corpus assignment;
-  *     at scale this is "the index" — (cell, codes) stored once per
-  *     vector — and dwarfs everything else.
-  *   - `codes`     (vec_id, sub, code, sq): PQ codes (raw or residual).
-  *   - `books`     (sub, cluster, c): PQ codebooks — m·k rows.
-  *   - `meta`      one row of geometry (m, k, coarseK, dims), so a loader
-  *     can validate compatibility before joining anything.
+  *   - `v<N>/centroids` (cluster, c): the coarse quantizer — k rows.
+  *   - `v<N>/assigned`  (vec_id, v, dxx, cluster, sq): the corpus
+  *     assignment; at scale this is "the index" — (cell, codes) stored
+  *     once per vector — and dwarfs everything else.
+  *   - `v<N>/codes`     (vec_id, sub, code, sq): PQ codes (raw or residual).
+  *   - `v<N>/books`     (sub, cluster, c): PQ codebooks — m·k rows.
+  *   - `meta`           one row of geometry (m, k, coarseK, dims) plus the
+  *     VERSION POINTER — which v<N> directory is the committed model.
   *
   * Doubles round-trip parquet bit-exactly and every serving fold orders
   * by (cluster, sub) packs — never by storage order — so a loaded model
   * reproduces the training run's search results row-for-row
   * (`ModelStoreSpec` pins this end-to-end through [[Similarity
   * .ivfPqSearchFrom]]).
+  *
+  * Crash and concurrency contract (single writer, any readers):
+  *   - Data tables are IMMUTABLE once committed: every save writes to a
+  *     FRESH v<N> directory and never touches a committed one, so a
+  *     reader — whether it resolved before the save started or reads
+  *     mid-save — always serves a COMPLETE model, old or new, never a
+  *     mix. This closes the window the round-9 commit-marker left open
+  *     (same-geometry in-place overwrite could expose partial tables to
+  *     a concurrent reader).
+  *   - `meta` is the COMMIT MARKER and the pointer swap in one write: it
+  *     lands serially, only after every data write has been joined and
+  *     found successful. A save that dies mid-write leaves a garbage
+  *     v<N> directory and the OLD meta still pointing at the old
+  *     complete model; the next save simply overwrites the garbage.
+  *   - After a successful swap, versions older than the immediately
+  *     previous one are garbage-collected (best effort) — the previous
+  *     version is KEPT so a reader that resolved just before the swap
+  *     can finish its scan. A reader must re-resolve (re-call
+  *     [[loadCoarsePq]]) rather than hold table handles across two
+  *     retrains; that one-version grace is the documented window.
+  *   - Writers are NOT coordinated against each other: two concurrent
+  *     saves to one dir can allocate the same version. Single-writer
+  *     per model dir, as before — what this adds is reader/writer
+  *     isolation, not writer/writer.
   */
 object ModelStore {
 
   private val parts = Seq("assigned", "centroids", "codes", "books")
 
+  /** The committed meta row (m, k, coarse_k, dims, version), if any.
+    * `version = 0` marks a legacy (pre-versioning) store whose tables
+    * live directly under `dir`. */
+  private def readMeta(spark: SparkSession, dir: String): Option[(Int, Int, Int, Int, Long)] = {
+    val metaPath = new Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) None
+    else {
+      val df = spark.read.parquet(metaPath.toString)
+      val versioned = df.columns.contains("version")
+      val row = df.select(col("m"), col("k"), col("coarse_k"), col("dims"),
+        (if (versioned) col("version") else lit(0L)).as("version"))
+        .collect().head
+      Some((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getLong(4)))
+    }
+  }
+
   /** Persist a trained coarse+PQ model (the [[Similarity.coarsePqModels]]
-    * quadruple) under `dir`, one parquet table per part plus geometry
-    * metadata. Overwrites any previous model at that path atomically per
-    * table (parquet overwrite semantics). The four data tables land on
-    * independent paths, so their write JOBS run concurrently (one driver
-    * thread each — Spark schedules concurrent jobs fine); serializing
-    * them would stack four small-job latencies for no isolation gain.
-    * `meta` is the COMMIT MARKER: it is written serially, only after
-    * every data write has been joined and found successful — so a
-    * failed or interrupted save can never leave a FRESH meta beside
-    * stale/partial data tables. Scope of the guarantee: it protects
-    * geometry-CHANGING saves (the case [[loadCoarsePq]]'s fail-fast can
-    * detect). Overwriting a model with the SAME geometry is not
-    * crash-atomic — a save that dies mid-overwrite leaves the old meta
-    * validating partial data; a deployment retraining in place at the
-    * same geometry needs write-to-new-dir-then-swap on top of this
-    * (parquet overwrite is per-table, not per-model). All four outcomes are
-    * collected before rethrowing (no fail-fast `Future.sequence`): by
-    * the time the first failure surfaces, no sibling overwrite of the
-    * same paths is still in flight, so a caller's retry cannot race it.
-    * The Spark actions run under `blocking` so the default pool grows
-    * past its cores-sized floor instead of serializing the writes. */
+    * quadruple) under `dir` as a fresh immutable version, then swap the
+    * meta pointer. The four data tables land on independent paths inside
+    * the new version directory, so their write JOBS run concurrently
+    * (one driver thread each — Spark schedules concurrent jobs fine);
+    * serializing them would stack four small-job latencies for no
+    * isolation gain. All four outcomes are collected before rethrowing
+    * (no fail-fast `Future.sequence`): by the time the first failure
+    * surfaces, no sibling write of the same paths is still in flight, so
+    * a caller's retry cannot race it. The Spark actions run under
+    * `blocking` so the default pool grows past its cores-sized floor
+    * instead of serializing the writes. Only after every data write has
+    * succeeded is `meta` overwritten — commit marker and version-pointer
+    * swap in one serial write; see the object doc for the full contract. */
   def saveCoarsePq(
       dir: String, assigned: DataFrame, centroids: DataFrame,
       codes: DataFrame, books: DataFrame,
@@ -62,44 +96,59 @@ object ModelStore {
     import scala.concurrent.ExecutionContext.Implicits.global
     val spark = assigned.sparkSession
     import spark.implicits._
+    val next = readMeta(spark, dir).map(_._5).getOrElse(0L) + 1L
+    val base = s"$dir/v$next"
     // the outcome is materialized with a catch-ALL, not scala.util.Try:
     // Try only catches NonFatal, so e.g. an InterruptedException would
     // fail its Future, make Future.sequence fail fast, and rethrow from
-    // Await while sibling overwrites are still in flight — the exact
-    // retry race the quiesce-before-rethrow contract rules out. Every
-    // write future here always SUCCEEDS (with Option[Throwable]), so
-    // the sequence can only return after all four writes have quiesced.
+    // Await while sibling writes are still in flight — the exact retry
+    // race the quiesce-before-rethrow contract rules out. Every write
+    // future here always SUCCEEDS (with Option[Throwable]), so the
+    // sequence can only return after all four writes have quiesced.
     val writes = Seq(assigned, centroids, codes, books).zip(parts)
       .map { case (df, name) =>
         Future(blocking {
-          try { df.write.mode("overwrite").parquet(s"$dir/$name"); None }
+          try { df.write.mode("overwrite").parquet(s"$base/$name"); None }
           catch { case t: Throwable => Some(t) }
         })
       }
     val outcomes = Await.result(Future.sequence(writes), Duration.Inf)
     outcomes.flatten.foreach(t => throw t) // all writes quiesced; surface any failure
-    Seq((m, k, coarseK, dims)).toDF("m", "k", "coarse_k", "dims")
+    Seq((m, k, coarseK, dims, next)).toDF("m", "k", "coarse_k", "dims", "version")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    // best-effort GC: drop versions older than the one just superseded;
+    // v(next-1) is kept for readers that resolved before the swap
+    try {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root)
+        .filter(_.isDirectory)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.matches("v\\d+") && n.drop(1).toLong < next - 1
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  /** Load a stored model: (assigned, centroids, codes, books). Validates
-    * the stored geometry against the caller's expectation — searching
-    * with mismatched geometry would silently mis-rank, so it fails fast
+  /** Load a stored model: (assigned, centroids, codes, books), resolved
+    * through the meta pointer to the committed version directory (or the
+    * legacy flat layout for a pre-versioning store). Validates the
+    * stored geometry against the caller's expectation — searching with
+    * mismatched geometry would silently mis-rank, so it fails fast
     * instead. */
   def loadCoarsePq(
       spark: SparkSession, dir: String,
       m: Int, k: Int, coarseK: Int, dims: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val meta = spark.read.parquet(s"$dir/meta")
-      .select(col("m"), col("k"), col("coarse_k"), col("dims"))
-      .collect().head
+    val (sm, sk, sck, sd, version) = readMeta(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no committed model at $dir"))
     require(
-      meta.getInt(0) == m && meta.getInt(1) == k &&
-        meta.getInt(2) == coarseK && meta.getInt(3) == dims,
-      s"stored model geometry (m=${meta.getInt(0)}, k=${meta.getInt(1)}, " +
-        s"coarseK=${meta.getInt(2)}, dims=${meta.getInt(3)}) does not match " +
-        s"requested (m=$m, k=$k, coarseK=$coarseK, dims=$dims)")
+      sm == m && sk == k && sck == coarseK && sd == dims,
+      s"stored model geometry (m=$sm, k=$sk, coarseK=$sck, dims=$sd) does " +
+        s"not match requested (m=$m, k=$k, coarseK=$coarseK, dims=$dims)")
+    val base = if (version == 0L) dir else s"$dir/v$version"
     val Seq(assigned, centroids, codes, books) =
-      parts.map(name => spark.read.parquet(s"$dir/$name"))
+      parts.map(name => spark.read.parquet(s"$base/$name"))
     (assigned, centroids, codes, books)
   }
 }

@@ -67,6 +67,58 @@ class ModelStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("geometry"))
   }
 
+  test("serve-during-overwrite: a reader sees the old complete model or the new complete model, never a mix") {
+    val g = (2, 2, 2, 4)
+    def train(swap: Boolean) = {
+      val docs = if (!swap) planted else planted
+        .select($"vec_id", reverse($"embedding").as("embedding"))
+      Similarity.coarsePqModels(docs, g._3, 2, g._1, g._2, 2, g._4)
+    }
+    def searchRows(t: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      Similarity.ivfPqSearchFrom(t._1, t._2, t._3, t._4,
+        planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val (a1, c1, k1, b1) = train(swap = false)
+    ModelStore.saveCoarsePq(dir, a1, c1, k1, b1, g._1, g._2, g._3, g._4)
+    val oldHandles = ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4)
+    val oldRows = searchRows(oldHandles)
+    val inMemNew = train(swap = true)
+    val newRows = searchRows((inMemNew._1, inMemNew._2, inMemNew._3, inMemNew._4))
+    assert(oldRows != newRows, "degenerate fixture: retrain must change the search result")
+
+    // (a) mid-overwrite window, simulated deterministically: the new
+    // version's data directory exists but is PARTIAL (one table), and the
+    // meta pointer has not swapped — a fresh resolve must still serve the
+    // old complete model
+    a1.write.mode("overwrite").parquet(s"$dir/v2/assigned")
+    assert(searchRows(ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4)) == oldRows,
+      "a reader resolved mid-save saw the uncommitted version")
+
+    // (b) complete the retrain (same geometry, different model):
+    // the save overwrites the garbage v2 and swaps the pointer
+    ModelStore.saveCoarsePq(dir, inMemNew._1, inMemNew._2, inMemNew._3,
+      inMemNew._4, g._1, g._2, g._3, g._4)
+    assert(searchRows(ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4)) == newRows,
+      "post-swap resolve did not serve the new model")
+
+    // (c) a reader that resolved BEFORE the swap still serves the old
+    // complete model — its version directory is immutable and survives
+    // one retrain (the one-version grace)
+    assert(searchRows(oldHandles) == oldRows,
+      "pre-swap reader handles were corrupted by the in-place retrain")
+
+    // (d) GC after a further retrain: v1 is dropped, v2 (previous) kept
+    val (a3, c3, k3, b3) = train(swap = false)
+    ModelStore.saveCoarsePq(dir, a3, c3, k3, b3, g._1, g._2, g._3, g._4)
+    val root = new java.io.File(dir)
+    val vDirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.matches("v\\d+")).sorted.toSeq
+    assert(vDirs == Seq("v2", "v3"), s"GC kept the wrong versions: $vDirs")
+  }
+
   test("loading with mismatched geometry fails fast") {
     val docs = planted
     val (assigned, centroids, codes, books) =
