@@ -202,6 +202,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("t19's post-checkpoint tail never re-scans or re-explodes the corpus") {
+    // round-10 fusion: ONE explode + per-doc aggregate builds the
+    // checkpointed position frame G, and every derived statistic (per-doc
+    // bigrams, unigram counts, vocab, corpus bigram counts) reads G. The
+    // tail plan the query returns must therefore contain NO parquet scan
+    // and NO Generate — losing this means a chain re-tokenizes the corpus
+    // per branch again (the three-pass shape the fusion replaced)
+    val p = plan("t19_bigram_lm")
+    assert(!p.contains("Scan parquet"),
+      s"t19's tail re-entered the corpus scan:\n$p")
+    assert(!p.contains("Generate"),
+      s"t19's tail re-explodes token positions:\n$p")
+  }
+
   test("NO catalog query plans a CartesianProduct (broadcast NLJ of tiny frames is the only cross-join form)") {
     // "explainString" itself only plans, but CONSTRUCTING some frames
     // (kmeans/PQ/LSH families) runs their eager localCheckpoint training
