@@ -40,11 +40,15 @@ import org.apache.spark.sql.functions._
   *     lands serially, only after every data write has been joined and
   *     found successful. A save that dies mid-write leaves a garbage
   *     v<N> directory and the OLD meta still pointing at the old
-  *     complete model; the next save simply overwrites the garbage.
-  *   - After a successful swap, versions older than the immediately
-  *     previous one are garbage-collected (best effort) — the previous
-  *     version is KEPT so a reader that resolved just before the swap
-  *     can finish its scan. A reader must re-resolve (re-call
+  *     complete model; version numbers allocate PAST any existing v<N>
+  *     directory (one FS listing, no Spark job), so a new save never
+  *     overwrites the garbage — it supersedes it, and GC sweeps it.
+  *   - After a successful swap, GC (best effort, FS-only) keeps the new
+  *     version plus the LATEST COMPLETE predecessor — completeness
+  *     checked by the four parts' _SUCCESS markers, so crash garbage
+  *     never consumes the grace slot — and deletes the rest. The kept
+  *     predecessor lets a reader that resolved just before the swap
+  *     finish its scan. A reader must re-resolve (re-call
   *     [[loadCoarsePq]]) rather than hold table handles across two
   *     retrains; that one-version grace is the documented window.
   *   - Writers are NOT coordinated against each other: two concurrent
@@ -96,7 +100,18 @@ object ModelStore {
     import scala.concurrent.ExecutionContext.Implicits.global
     val spark = assigned.sparkSession
     import spark.implicits._
-    val next = readMeta(spark, dir).map(_._5).getOrElse(0L) + 1L
+    // version allocation by FS listing, not by reading meta: a parquet
+    // read of meta is a Spark job per save, and allocating PAST any
+    // existing v<N> directory (committed or crashed-save garbage) means a
+    // new version NEVER overwrites an existing path — garbage from a
+    // crashed save is simply superseded and swept by a later GC pass
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = (if (fs.exists(root))
+      fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.matches("v\\d+"))
+        .map(_.drop(1).toLong).foldLeft(0L)(math.max)
+    else 0L) + 1L
     val base = s"$dir/v$next"
     // the outcome is materialized with a catch-ALL, not scala.util.Try:
     // Try only catches NonFatal, so e.g. an InterruptedException would
@@ -116,18 +131,21 @@ object ModelStore {
     outcomes.flatten.foreach(t => throw t) // all writes quiesced; surface any failure
     Seq((m, k, coarseK, dims, next)).toDF("m", "k", "coarse_k", "dims", "version")
       .write.mode("overwrite").parquet(s"$dir/meta")
-    // best-effort GC: drop versions older than the one just superseded;
-    // v(next-1) is kept for readers that resolved before the swap
+    // best-effort GC, FS-only: a version dir is COMPLETE iff all four
+    // parts carry their _SUCCESS marker. Keep the just-committed version
+    // and the LATEST COMPLETE predecessor (the one-version grace for
+    // readers that resolved before the swap); sweep everything else —
+    // older complete versions and any incomplete crash garbage, which
+    // can never count as the grace predecessor
     try {
-      val root = new Path(dir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(root)
-        .filter(_.isDirectory)
-        .filter { st =>
-          val n = st.getPath.getName
-          n.matches("v\\d+") && n.drop(1).toLong < next - 1
-        }
-        .foreach(st => fs.delete(st.getPath, true))
+      def complete(v: Long): Boolean =
+        parts.forall(p => fs.exists(new Path(s"$dir/v$v/$p/_SUCCESS")))
+      val others = fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.matches("v\\d+"))
+        .map(_.drop(1).toLong).filter(_ != next)
+      val grace = others.filter(complete).sorted.lastOption
+      others.filterNot(grace.contains)
+        .foreach(v => fs.delete(new Path(s"$dir/v$v"), true))
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 

@@ -110,13 +110,20 @@ class ModelStoreSpec extends SparkSpec {
     assert(searchRows(oldHandles) == oldRows,
       "pre-swap reader handles were corrupted by the in-place retrain")
 
-    // (d) GC after a further retrain: v1 is dropped, v2 (previous) kept
+    // interlude: the retrain in (b) allocated PAST the garbage partial
+    // (v1 committed, v2 garbage -> B landed as v3), and its GC swept the
+    // incomplete v2 while keeping complete v1 as the grace predecessor
+    val root = new java.io.File(dir)
+    def vDirs() = root.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.matches("v\\d+")).sorted.toSeq
+    assert(vDirs() == Seq("v1", "v3"),
+      s"garbage sweep / grace selection wrong after the retrain: ${vDirs()}")
+
+    // (d) GC after a further retrain: v1 finally drops, v3 (the committed
+    // predecessor) is the grace version beside the new v4
     val (a3, c3, k3, b3) = train(swap = false)
     ModelStore.saveCoarsePq(dir, a3, c3, k3, b3, g._1, g._2, g._3, g._4)
-    val root = new java.io.File(dir)
-    val vDirs = root.listFiles().filter(_.isDirectory).map(_.getName)
-      .filter(_.matches("v\\d+")).sorted.toSeq
-    assert(vDirs == Seq("v2", "v3"), s"GC kept the wrong versions: $vDirs")
+    assert(vDirs() == Seq("v3", "v4"), s"GC kept the wrong versions: ${vDirs()}")
   }
 
   test("loading with mismatched geometry fails fast") {
