@@ -38,23 +38,48 @@ import org.apache.spark.sql.functions._
   *     a concurrent reader).
   *   - `meta` is the COMMIT MARKER and the pointer swap in one write: it
   *     lands serially, only after every data write has been joined and
-  *     found successful. A save that dies mid-write leaves a garbage
-  *     v<N> directory and the OLD meta still pointing at the old
-  *     complete model; version numbers allocate PAST any existing v<N>
-  *     directory (one FS listing, no Spark job), so a new save never
-  *     overwrites the garbage — it supersedes it, and GC sweeps it.
+  *     found successful. The new meta is written to a hidden temp path
+  *     and SWAPPED in with two FS metadata ops (delete old, rename temp)
+  *     — never rebuilt in place over a whole Spark write job, so the
+  *     only window where `meta` is absent is between those two renames.
+  *     [[readMeta]] absorbs exactly that window: when meta is missing
+  *     but version directories exist, it retries briefly before
+  *     concluding "no committed model". A save that dies mid-write
+  *     leaves a garbage v<N> directory and the OLD meta still pointing
+  *     at the old complete model; version numbers allocate PAST any
+  *     existing v<N> directory (one FS listing, no Spark job), so a new
+  *     save never overwrites the garbage — it supersedes it, and GC
+  *     sweeps it.
   *   - After a successful swap, GC (best effort, FS-only) keeps the new
-  *     version plus the LATEST COMPLETE predecessor — completeness
-  *     checked by the four parts' _SUCCESS markers, so crash garbage
-  *     never consumes the grace slot — and deletes the rest. The kept
-  *     predecessor lets a reader that resolved just before the swap
-  *     finish its scan. A reader must re-resolve (re-call
+  *     version plus the PREVIOUSLY COMMITTED predecessor — read from
+  *     the pre-swap meta, so it counts as complete even on deployments
+  *     whose committer emits no _SUCCESS markers — falling back to the
+  *     latest predecessor whose four parts all carry _SUCCESS (or, when
+  *     this save itself produced no markers, whose parts are all
+  *     non-empty). Crash garbage never consumes the grace slot. The
+  *     kept predecessor lets a reader that resolved just before the
+  *     swap finish its scan. A reader must re-resolve (re-call
   *     [[loadCoarsePq]]) rather than hold table handles across two
   *     retrains; that one-version grace is the documented window.
-  *   - Writers are NOT coordinated against each other: two concurrent
-  *     saves to one dir can allocate the same version. Single-writer
-  *     per model dir, as before — what this adds is reader/writer
-  *     isolation, not writer/writer.
+  *   - Writers are FENCED apart: each save atomically claims its
+  *     freshly allocated v<N> directory by creating a `.writer` marker
+  *     with overwrite=false, and a claim collision re-allocates HIGHER —
+  *     two racing saves land as two DISTINCT committed versions (last
+  *     swap wins the pointer; both data sets are complete), never as
+  *     interleaved writes into one path. GC only sweeps versions BELOW
+  *     the one it just committed (a higher dir is a re-allocated
+  *     concurrent writer or future-swept garbage) and never one with a
+  *     LIVE in-JVM claim (a lower-versioned sibling still writing looks
+  *     like crash garbage on disk; the claim registry tells them apart).
+  *     The pointer swap + GC section is additionally serialized within
+  *     one JVM, so two in-process saves both commit, as two distinct
+  *     versions. Writers in separate processes keep loud-failure
+  *     fallbacks instead: claim collision throws, a swept in-flight dir
+  *     is detected by a pre-swap existence check and aborts the save,
+  *     and a lost rename race throws — never a torn or dangling pointer.
+  *     The pointer itself remains last-writer-wins — concurrent saves
+  *     cannot corrupt, but WHICH model ends up committed is a race;
+  *     coordinate retraining externally if that matters.
   */
 object ModelStore {
 
@@ -62,20 +87,100 @@ object ModelStore {
 
   /** The committed meta row (m, k, coarse_k, dims, version), if any.
     * `version = 0` marks a legacy (pre-versioning) store whose tables
-    * live directly under `dir`. */
-  private def readMeta(spark: SparkSession, dir: String): Option[(Int, Int, Int, Int, Long)] = {
+    * live directly under `dir`.
+    *
+    * A missing or unreadable meta is retried briefly (when `retry`) IF
+    * version directories exist under `dir` — that is the fingerprint of
+    * a pointer swap in flight (delete-old/rename-temp window) rather
+    * than of an empty store, and the window is two FS metadata ops, not
+    * a write job. An empty or version-less store returns None at once. */
+  private def readMeta(
+      spark: SparkSession, dir: String,
+      retry: Boolean = true): Option[(Int, Int, Int, Int, Long)] = {
     val metaPath = new Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaPath)) None
-    else {
-      val df = spark.read.parquet(metaPath.toString)
-      val versioned = df.columns.contains("version")
-      val row = df.select(col("m"), col("k"), col("coarse_k"), col("dims"),
-        (if (versioned) col("version") else lit(0L)).as("version"))
-        .collect().head
-      Some((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getLong(4)))
+    def hasVersionDirs: Boolean =
+      fs.exists(new Path(dir)) && fs.listStatus(new Path(dir))
+        .exists(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+    val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+    def attempt(): Option[(Int, Int, Int, Int, Long)] = {
+      val out =
+        try {
+          if (!fs.exists(metaPath)) Right(None)
+          else {
+            val df = spark.read.parquet(metaPath.toString)
+            val versioned = df.columns.contains("version")
+            val row = df.select(col("m"), col("k"), col("coarse_k"), col("dims"),
+              (if (versioned) col("version") else lit(0L)).as("version"))
+              .collect().head
+            Right(Some((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getLong(4))))
+          }
+        } catch { case scala.util.control.NonFatal(t) => Left(t) }
+      out match {
+        case Right(Some(meta)) => Some(meta)
+        case Right(None) if !retry || !hasVersionDirs => None
+        case other => // swap window (meta absent beside v dirs) or torn read
+          if (!retry || System.nanoTime() >= deadline)
+            other.fold(throw _, identity)
+          else { Thread.sleep(50); attempt() }
+      }
+    }
+    attempt()
+  }
+
+  /** Atomically claim a version directory for this writer by creating
+    * its `.writer` marker with overwrite=false. A second writer that
+    * raced to the same version number fails loudly here — never by
+    * silently interleaving writes into the same paths. [[saveCoarsePq]]
+    * retries allocation on this failure, so two racing saves land as two
+    * DISTINCT versions instead of one corrupted one. */
+  private[operators] def claimVersion(fs: org.apache.hadoop.fs.FileSystem, base: String): Unit = {
+    try fs.create(new Path(s"$base/.writer"), false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"version directory $base is already claimed by a concurrent writer", e)
     }
   }
+
+  /** Allocate the next version number PAST every existing v<N> directory
+    * (one FS listing, no Spark job — committed versions and crashed-save
+    * garbage alike are superseded, never overwritten) and claim it. A
+    * claim collision means another writer allocated the same number from
+    * the same listing; re-list and go higher, so concurrent saves are
+    * fenced apart onto distinct versions rather than interleaved. */
+  private def allocateVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String): Long = {
+    val root = new Path(dir)
+    var lastFailure: Throwable = null
+    (1 to 16).foreach { _ =>
+      val next = (if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.matches("v\\d+"))
+          .map(_.drop(1).toLong).foldLeft(0L)(math.max)
+      else 0L) + 1L
+      try { claimVersion(fs, s"$dir/v$next"); return next }
+      catch { case e: IllegalStateException => lastFailure = e }
+    }
+    throw new IllegalStateException(
+      s"could not claim a model version under $dir after 16 attempts", lastFailure)
+  }
+
+  /** Serializes the pointer swap + GC for writers inside one JVM, making
+    * the two-FS-op meta install effectively atomic against in-process
+    * concurrency (the common "two sessions, one driver" case). Writers in
+    * separate processes fall back to the loud-failure guarantees: claim
+    * collisions throw, and a lost rename race throws rather than leaving
+    * a torn pointer. */
+  private val swapLock = new Object
+
+  /** Version directories with a save IN FLIGHT in this JVM. GC must not
+    * mistake them for crash garbage: an in-flight dir is incomplete by
+    * definition, and on-disk state alone cannot distinguish "writer died"
+    * from "writer still writing" — this registry can, for the writers it
+    * can see. A cross-process in-flight writer is instead protected by
+    * the pre-swap existence check: if its directory was swept, its save
+    * fails LOUDLY rather than committing a pointer to deleted data. */
+  private val liveClaims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Persist a trained coarse+PQ model (the [[Similarity.coarsePqModels]]
     * quadruple) under `dir` as a fresh immutable version, then swap the
@@ -100,19 +205,17 @@ object ModelStore {
     import scala.concurrent.ExecutionContext.Implicits.global
     val spark = assigned.sparkSession
     import spark.implicits._
-    // version allocation by FS listing, not by reading meta: a parquet
-    // read of meta is a Spark job per save, and allocating PAST any
-    // existing v<N> directory (committed or crashed-save garbage) means a
-    // new version NEVER overwrites an existing path — garbage from a
-    // crashed save is simply superseded and swept by a later GC pass
+    // the version the CURRENT meta points at is the grace predecessor GC
+    // must keep for in-flight readers — recorded here, before the swap,
+    // so GC can trust it as complete even when the committer emits no
+    // _SUCCESS markers (one tiny meta read per save; saves are rare)
+    val prevCommitted = readMeta(spark, dir, retry = false).map(_._5).filter(_ > 0L)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = (if (fs.exists(root))
-      fs.listStatus(root).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.matches("v\\d+"))
-        .map(_.drop(1).toLong).foldLeft(0L)(math.max)
-    else 0L) + 1L
+    val next = allocateVersion(fs, dir)
     val base = s"$dir/v$next"
+    liveClaims.add(base) // shield this in-flight dir from a sibling's GC
+    try {
     // the outcome is materialized with a catch-ALL, not scala.util.Try:
     // Try only catches NonFatal, so e.g. an InterruptedException would
     // fail its Future, make Future.sequence fail fast, and rethrow from
@@ -129,24 +232,80 @@ object ModelStore {
       }
     val outcomes = Await.result(Future.sequence(writes), Duration.Inf)
     outcomes.flatten.foreach(t => throw t) // all writes quiesced; surface any failure
+    // pointer swap: build the new meta on a hidden temp path (a full
+    // parquet write job), then install it with two FS metadata ops —
+    // delete-old + rename-temp. A concurrent readMeta can only catch the
+    // gap BETWEEN those two ops, and it retries across exactly that gap;
+    // mode("overwrite") straight onto $dir/meta would instead leave meta
+    // missing/partial for the duration of a whole write job
+    val tmpMeta = new Path(s"$dir/.meta.tmp.v$next")
     Seq((m, k, coarseK, dims, next)).toDF("m", "k", "coarse_k", "dims", "version")
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    // best-effort GC, FS-only: a version dir is COMPLETE iff all four
-    // parts carry their _SUCCESS marker. Keep the just-committed version
-    // and the LATEST COMPLETE predecessor (the one-version grace for
-    // readers that resolved before the swap); sweep everything else —
-    // older complete versions and any incomplete crash garbage, which
-    // can never count as the grace predecessor
+      .write.mode("overwrite").parquet(tmpMeta.toString)
+    swapLock.synchronized {
+    // pre-swap guard for CROSS-PROCESS writer races (in-JVM siblings are
+    // already shielded by liveClaims): if some other process's GC swept
+    // this writer's directory mid-save, fail loudly here — never commit a
+    // pointer to deleted data
+    if (!parts.forall(p => fs.exists(new Path(s"$base/$p"))))
+      throw new IllegalStateException(
+        s"in-flight version directory $base was swept by a concurrent " +
+          "writer's GC before the pointer swap; aborting instead of " +
+          "committing a dangling pointer")
+    val metaPath = new Path(s"$dir/meta")
+    if (fs.exists(metaPath)) fs.delete(metaPath, true)
+    if (!fs.rename(tmpMeta, metaPath))
+      throw new java.io.IOException(s"failed to install $tmpMeta as $metaPath")
+    // best-effort GC, FS-only: keep the just-committed version plus ONE
+    // grace predecessor for readers that resolved before the swap. The
+    // grace slot goes to the version the pre-swap meta pointed at —
+    // committed is complete by construction, no markers needed — falling
+    // back (legacy stores with no recorded pointer) to the latest
+    // predecessor whose four parts all carry _SUCCESS, or, when this
+    // deployment's committer emits no markers at all (the just-written
+    // version has none), whose four parts are all non-empty. Everything
+    // else — older versions and incomplete crash garbage — is swept.
     try {
-      def complete(v: Long): Boolean =
+      def hasMarkers(v: Long): Boolean =
         parts.forall(p => fs.exists(new Path(s"$dir/v$v/$p/_SUCCESS")))
+      def nonEmptyParts(v: Long): Boolean =
+        parts.forall { p =>
+          val d = new Path(s"$dir/v$v/$p")
+          fs.exists(d) && fs.listStatus(d).exists { s =>
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+        }
+      val markersEmitted = hasMarkers(next)
+      // sweep candidates are versions BELOW the one just committed (a
+      // higher dir belongs to a concurrent writer that re-allocated past
+      // us, or to garbage the NEXT save will sit above and sweep) minus
+      // any in-flight sibling this JVM can see in liveClaims (a lower
+      // version whose writer simply hasn't finished yet is incomplete on
+      // disk, indistinguishable from crash garbage without the registry)
       val others = fs.listStatus(root).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.matches("v\\d+"))
-        .map(_.drop(1).toLong).filter(_ != next)
-      val grace = others.filter(complete).sorted.lastOption
+        .map(_.drop(1).toLong)
+        .filter(v => v < next && !liveClaims.contains(s"$dir/v$v"))
+      def complete(v: Long): Boolean =
+        if (markersEmitted) hasMarkers(v) else nonEmptyParts(v)
+      val grace = prevCommitted.filter(others.contains)
+        .orElse(others.filter(complete).sorted.lastOption)
       others.filterNot(grace.contains)
         .foreach(v => fs.delete(new Path(s"$dir/v$v"), true))
+      // a save that crashed between the temp-meta write and the rename
+      // leaves a stale .meta.tmp.vK behind; sweep those (ours is gone —
+      // renamed to meta) under the same below-next + not-in-flight rule
+      fs.listStatus(root).map(_.getPath)
+        .filter { p =>
+          p.getName.matches("\\.meta\\.tmp\\.v\\d+") && {
+            val v = p.getName.stripPrefix(".meta.tmp.v").toLong
+            v < next && !liveClaims.contains(s"$dir/v$v")
+          }
+        }
+        .foreach(p => fs.delete(p, true))
     } catch { case scala.util.control.NonFatal(_) => () }
+    } // swapLock
+    } finally liveClaims.remove(base)
   }
 
   /** Load a stored model: (assigned, centroids, codes, books), resolved

@@ -126,6 +126,103 @@ class ModelStoreSpec extends SparkSpec {
     assert(vDirs() == Seq("v3", "v4"), s"GC kept the wrong versions: ${vDirs()}")
   }
 
+  test("a reader that lands inside the pointer-swap window retries and resolves the committed model") {
+    val docs = planted
+    val (assigned, centroids, codes, books) =
+      Similarity.coarsePqModels(docs, 2, 2, 2, 2, 2, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, assigned, centroids, codes, books, 2, 2, 2, 4)
+
+    // simulate the delete-old/rename-temp gap: meta is transiently absent
+    // while the version directories sit beside it; a concurrent restorer
+    // plays the role of the in-flight rename landing
+    val meta = new java.io.File(s"$dir/meta")
+    val stash = new java.io.File(s"$dir/meta_stash")
+    assert(meta.renameTo(stash), "fixture: could not stash meta")
+    val restorer = new Thread(() => { Thread.sleep(300); stash.renameTo(meta); () })
+    restorer.start()
+    try {
+      val (la, lc, lcodes, lbooks) = ModelStore.loadCoarsePq(spark, dir, 2, 2, 2, 4)
+      assert(la.count() > 0 && lc.count() > 0 && lcodes.count() > 0 && lbooks.count() > 0)
+    } finally restorer.join()
+  }
+
+  test("a second writer racing to the same version number fails loudly at the claim, not by interleaving") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ModelStore.claimVersion(fs, s"$dir/v1") // first writer wins the claim
+    val e = intercept[IllegalStateException] {
+      ModelStore.claimVersion(fs, s"$dir/v1") // the racer loses LOUDLY
+    }
+    assert(e.getMessage.contains("claimed by a concurrent writer"))
+  }
+
+  test("two interleaved saves land as two distinct committed versions, and the pointer resolves one complete model") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val g = (2, 2, 2, 4)
+    val modelA = Similarity.coarsePqModels(planted, g._3, 2, g._1, g._2, 2, g._4)
+    val modelB = Similarity.coarsePqModels(
+      planted.select($"vec_id", reverse($"embedding").as("embedding")),
+      g._3, 2, g._1, g._2, 2, g._4)
+    def searchRows(t: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      Similarity.ivfPqSearchFrom(t._1, t._2, t._3, t._4,
+        planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val rowsA = searchRows(modelA)
+    val rowsB = searchRows(modelB)
+    assert(rowsA != rowsB, "degenerate fixture: the two models must differ")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val saves = Seq(modelA, modelB).map { m =>
+      Future(ModelStore.saveCoarsePq(dir, m._1, m._2, m._3, m._4, g._1, g._2, g._3, g._4))
+    }
+    Await.result(Future.sequence(saves), Duration.Inf) // both must SUCCEED
+
+    // the claim fence forced the two writers onto distinct versions and
+    // GC's below-next rule kept both data sets on disk
+    val vDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(vDirs == Seq("v1", "v2"),
+      s"interleaved saves did not land as two distinct versions: $vDirs")
+
+    // last swap won the pointer; whichever it was, the served model is
+    // ENTIRELY one of the two — never an interleaved mix
+    val served = searchRows(ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4))
+    assert(served == rowsA || served == rowsB,
+      "the committed model is neither writer's model — interleaved corruption")
+  }
+
+  test("GC keeps the previously committed version as grace even when its _SUCCESS markers are gone") {
+    val docs = planted
+    val (a1, c1, k1, b1) = Similarity.coarsePqModels(docs, 2, 2, 2, 2, 2, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, a1, c1, k1, b1, 2, 2, 2, 4)
+
+    // a deployment whose committer emits no _SUCCESS markers: strip them
+    // from the committed v1 — GC must still honor it as the grace
+    // predecessor because the pre-swap meta pointed at it
+    val v1 = new java.io.File(s"$dir/v1")
+    def successFiles(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten
+        .flatMap(c => if (c.isDirectory) successFiles(c)
+                      else if (c.getName == "_SUCCESS") Seq(c) else Nil)
+    val stripped = successFiles(v1)
+    assert(stripped.nonEmpty, "fixture: expected _SUCCESS markers under v1")
+    stripped.foreach(f => assert(f.delete()))
+
+    val (a2, c2, k2, b2) = Similarity.coarsePqModels(
+      docs.select($"vec_id", reverse($"embedding").as("embedding")), 2, 2, 2, 2, 2, 4)
+    ModelStore.saveCoarsePq(dir, a2, c2, k2, b2, 2, 2, 2, 4)
+    val vDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(vDirs == Seq("v1", "v2"),
+      s"marker-less committed predecessor was swept instead of kept as grace: $vDirs")
+  }
+
   test("loading with mismatched geometry fails fast") {
     val docs = planted
     val (assigned, centroids, codes, books) =

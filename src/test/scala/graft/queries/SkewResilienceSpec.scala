@@ -75,6 +75,64 @@ class SkewResilienceSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-join splitting engages on a1's fact-fact shape, and the explicit repartition(custkey) does not block it") {
+    // a1_top3_parts_per_customer's exact shape (RelationalQueries.scala:184):
+    // lineitem⋈orders on orderkey, then ONE explicit repartition(custkey)
+    // serving both the (custkey, partkey) count and the top-K window. Here
+    // the JOIN key is skewed — orderkey 0 owns half the fact — and the pin
+    // is that the downstream user repartition leaves AQE free to split the
+    // join's hot partition (the join output flows into another exchange, so
+    // no distribution contract forbids the split), with exact results.
+    val hot = 20000
+    val li = spark.range(2 * hot).select(
+      when($"id" < hot, 0L).otherwise(pmod($"id", lit(2000L)) + 1L).as("l_orderkey"),
+      pmod($"id", lit(10L)).as("l_partkey"),
+      concat(md5($"id".cast("string")), md5(($"id" + 1).cast("string")),
+        md5(($"id" + 2).cast("string")), md5(($"id" + 3).cast("string")))
+        .as("payload"))
+    val o = spark.range(2001).select($"id".as("o_orderkey"),
+      pmod($"id", lit(50L)).as("o_custkey"))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val counted = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .repartition(col("o_custkey"))
+        .groupBy(col("o_custkey"), col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"), sum(length($"payload")).as("bytes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("cnt").desc, col("l_partkey").asc)
+      val top = counted.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      val got = top.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .sorted.toSeq
+      // custkey 0 owns the hot order (orderkey 0: `hot` rows, partkeys 0-9
+      // at hot/10 each) plus cold orderkeys 50,100,…,2000 (40 orders × 10
+      // rows, all at partkey 9) -> top-3 = partkey 9 at 2400, then 0 and 1
+      // at 2000; every other custkey c has all 400 of its rows on the single
+      // partkey (c-1)%10. Payload is 4 md5 hexes = 128 bytes per row.
+      val expect = (Seq(
+        (0L, 9L, 2400L, 2400 * 128L, 1),
+        (0L, 0L, 2000L, 2000 * 128L, 2),
+        (0L, 1L, 2000L, 2000 * 128L, 3)) ++
+        (1 to 49).map(c => (c.toLong, ((c - 1) % 10).toLong, 400L, 400 * 128L, 1))).sorted
+      assert(got == expect, s"fact-fact result wrong under skew: ${got.take(4)}...")
+      val plan = top.queryExecution.executedPlan.toString
+      assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"),
+        "query did not execute adaptively")
+      assert(plan.contains("skew=true"),
+        s"AQE skew splitting did not engage on the fact-fact join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("sessionize stays exact and total under a 50%-hot user") {
     val gap = 100L
     // hot user: 10k events alternating inside/over the gap -> sessions of
