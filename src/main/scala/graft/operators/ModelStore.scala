@@ -128,6 +128,23 @@ object ModelStore {
     attempt()
   }
 
+  /** The committed version pointer via the `_version_<N>` sidecar marker
+    * inside the meta directory — one FS listing, no Spark job. The
+    * sidecar is written beside the parquet meta on the temp path and
+    * travels with the install rename, so it can never disagree with the
+    * parquet pointer it sits next to. Metas written before the sidecar
+    * existed fall back to the parquet read (one Spark job, once — the
+    * next save writes the sidecar). */
+  private def readVersionPointer(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {
+    val metaPath = new Path(s"$dir/meta")
+    if (!fs.exists(metaPath)) None
+    else fs.listStatus(metaPath)
+      .map(_.getPath.getName).find(_.matches("_version_\\d+"))
+      .map(_.stripPrefix("_version_").toLong)
+      .orElse(readMeta(spark, dir, retry = false).map(_._5))
+  }
+
   /** Atomically claim a version directory for this writer by creating
     * its `.writer` marker with overwrite=false. A second writer that
     * raced to the same version number fails loudly here — never by
@@ -205,13 +222,13 @@ object ModelStore {
     import scala.concurrent.ExecutionContext.Implicits.global
     val spark = assigned.sparkSession
     import spark.implicits._
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the version the CURRENT meta points at is the grace predecessor GC
     // must keep for in-flight readers — recorded here, before the swap,
     // so GC can trust it as complete even when the committer emits no
-    // _SUCCESS markers (one tiny meta read per save; saves are rare)
-    val prevCommitted = readMeta(spark, dir, retry = false).map(_._5).filter(_ > 0L)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // _SUCCESS markers (sidecar listing — job-free on the save hot path)
+    val prevCommitted = readVersionPointer(spark, fs, dir).filter(_ > 0L)
     val next = allocateVersion(fs, dir)
     val base = s"$dir/v$next"
     liveClaims.add(base) // shield this in-flight dir from a sibling's GC
@@ -241,6 +258,9 @@ object ModelStore {
     val tmpMeta = new Path(s"$dir/.meta.tmp.v$next")
     Seq((m, k, coarseK, dims, next)).toDF("m", "k", "coarse_k", "dims", "version")
       .write.mode("overwrite").parquet(tmpMeta.toString)
+    // job-free pointer sidecar for the NEXT save's prevCommitted lookup;
+    // written on the temp path so it installs atomically with the meta
+    fs.create(new Path(tmpMeta, s"_version_$next"), true).close()
     swapLock.synchronized {
     // pre-swap guard for CROSS-PROCESS writer races (in-JVM siblings are
     // already shielded by liveClaims): if some other process's GC swept
