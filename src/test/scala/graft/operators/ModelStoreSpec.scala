@@ -223,6 +223,39 @@ class ModelStoreSpec extends SparkSpec {
       s"marker-less committed predecessor was swept instead of kept as grace: $vDirs")
   }
 
+  test("a meta without the _version sidecar (pre-sidecar store) still yields its grace predecessor via the parquet fallback") {
+    val docs = planted
+    val (a1, c1, k1, b1) = Similarity.coarsePqModels(docs, 2, 2, 2, 2, 2, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, a1, c1, k1, b1, 2, 2, 2, 4)
+
+    // simulate a store committed by the pre-sidecar code: the parquet
+    // meta is intact but the _version_<N> marker is absent — the next
+    // save must fall back to reading the pointer from the parquet and
+    // still keep v1 as the reader-grace version. v1's _SUCCESS markers
+    // are ALSO stripped so the marker-based grace fallback cannot mask a
+    // broken parquet fallback — only the recovered pointer protects v1
+    val sidecar = new java.io.File(s"$dir/meta/_version_1")
+    assert(sidecar.exists, "fixture: expected the _version_1 sidecar")
+    assert(sidecar.delete())
+    def successFiles(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten
+        .flatMap(c => if (c.isDirectory) successFiles(c)
+                      else if (c.getName == "_SUCCESS") Seq(c) else Nil)
+    successFiles(new java.io.File(s"$dir/v1")).foreach(f => assert(f.delete()))
+
+    val (a2, c2, k2, b2) = Similarity.coarsePqModels(
+      docs.select($"vec_id", reverse($"embedding").as("embedding")), 2, 2, 2, 2, 2, 4)
+    ModelStore.saveCoarsePq(dir, a2, c2, k2, b2, 2, 2, 2, 4)
+    val vDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(vDirs == Seq("v1", "v2"),
+      s"legacy meta's committed predecessor was not kept as grace: $vDirs")
+    // and the new save re-established the sidecar for the next one
+    assert(new java.io.File(s"$dir/meta/_version_2").exists,
+      "the save did not write the pointer sidecar")
+  }
+
   test("loading with mismatched geometry fails fast") {
     val docs = planted
     val (assigned, centroids, codes, books) =
