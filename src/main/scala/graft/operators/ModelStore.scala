@@ -39,28 +39,36 @@ import org.apache.spark.sql.functions._
   *   - `meta` is the COMMIT MARKER and the pointer swap in one write: it
   *     lands serially, only after every data write has been joined and
   *     found successful. The new meta is written to a hidden temp path
-  *     and SWAPPED in with two FS metadata ops (delete old, rename temp)
-  *     — never rebuilt in place over a whole Spark write job, so the
-  *     only window where `meta` is absent is between those two renames.
-  *     [[readMeta]] absorbs exactly that window: when meta is missing
-  *     but version directories exist, it retries briefly before
-  *     concluding "no committed model". A save that dies mid-write
-  *     leaves a garbage v<N> directory and the OLD meta still pointing
-  *     at the old complete model; version numbers allocate PAST any
-  *     existing v<N> directory (one FS listing, no Spark job), so a new
-  *     save never overwrites the garbage — it supersedes it, and GC
+  *     and SWAPPED in with two FS metadata ops — the OLD meta is STASHED
+  *     aside (rename to `.meta.bak.v<N>`), then the temp renamed in —
+  *     never rebuilt in place over a whole Spark write job. The only
+  *     window where `meta` is absent is between those two renames, and
+  *     in that window the stash IS the old committed meta: [[readMeta]]
+  *     falls back to the newest stash when meta is missing (serving the
+  *     old complete model — exactly the documented reader grace) and
+  *     additionally retries briefly when version directories exist but
+  *     neither meta nor stash does. A save that dies mid-write leaves a
+  *     garbage v<N> directory and the OLD meta (or its stash) still
+  *     pointing at the old complete model; version numbers allocate PAST
+  *     any existing v<N> directory (one FS listing, no Spark job), so a
+  *     new save never overwrites the garbage — it supersedes it, and GC
   *     sweeps it.
   *   - After a successful swap, GC (best effort, FS-only) keeps the new
-  *     version plus the PREVIOUSLY COMMITTED predecessor — read from
-  *     the pre-swap meta, so it counts as complete even on deployments
-  *     whose committer emits no _SUCCESS markers — falling back to the
-  *     latest predecessor whose four parts all carry _SUCCESS (or, when
-  *     this save itself produced no markers, whose parts are all
-  *     non-empty). Crash garbage never consumes the grace slot. The
-  *     kept predecessor lets a reader that resolved just before the
-  *     swap finish its scan. A reader must re-resolve (re-call
-  *     [[loadCoarsePq]]) rather than hold table handles across two
-  *     retrains; that one-version grace is the documented window.
+  *     version plus the PREVIOUSLY COMMITTED predecessor — the version
+  *     pointer re-read INSIDE the swap section immediately before the
+  *     install (job-free via the `_version_<N>` sidecar), not a value
+  *     captured at save start: a sibling save may commit during this
+  *     save's long data-write phase, and its just-committed version must
+  *     take the grace slot, not a stale predecessor. Committed-by-pointer
+  *     counts as complete even on deployments whose committer emits no
+  *     _SUCCESS markers; the fallback (legacy stores with no readable
+  *     pointer) is the latest predecessor whose four parts all carry
+  *     _SUCCESS (or, when this save itself produced no markers, whose
+  *     parts are all non-empty). Crash garbage never consumes the grace
+  *     slot. The kept predecessor lets a reader that resolved just
+  *     before the swap finish its scan. A reader must re-resolve
+  *     (re-call [[loadCoarsePq]]) rather than hold table handles across
+  *     two retrains; that one-version grace is the documented window.
   *   - Writers are FENCED apart: each save atomically claims its
   *     freshly allocated v<N> directory by creating a `.writer` marker
   *     with overwrite=false, and a claim collision re-allocates HIGHER —
@@ -73,13 +81,26 @@ import org.apache.spark.sql.functions._
   *     like crash garbage on disk; the claim registry tells them apart).
   *     The pointer swap + GC section is additionally serialized within
   *     one JVM, so two in-process saves both commit, as two distinct
-  *     versions. Writers in separate processes keep loud-failure
-  *     fallbacks instead: claim collision throws, a swept in-flight dir
-  *     is detected by a pre-swap existence check and aborts the save,
-  *     and a lost rename race throws — never a torn or dangling pointer.
-  *     The pointer itself remains last-writer-wins — concurrent saves
-  *     cannot corrupt, but WHICH model ends up committed is a race;
-  *     coordinate retraining externally if that matters.
+  *     versions. Writers in separate processes get BEST-EFFORT loud
+  *     failure instead: claim collision throws, a swept in-flight dir is
+  *     caught by a pre-swap existence check AND a post-install
+  *     re-verification that rolls the pointer back to the stashed old
+  *     meta and throws — so a cross-process GC sweep racing this save
+  *     loses the save, never installs a pointer to deleted data. The
+  *     residual exposure is a sweep landing AFTER the re-verification,
+  *     i.e. a process deleting data the pointer already serves — which
+  *     is the victim's GC keeping a different grace version; with more
+  *     than two uncoordinated retrainers, coordinate externally. The
+  *     pointer itself remains last-writer-wins — concurrent saves cannot
+  *     corrupt, but WHICH model ends up committed is a race.
+  *
+  * Filesystem requirements: the fencing and the pointer swap rely on
+  * `create(overwrite=false)` being atomic-exclusive and `rename` being
+  * an atomic metadata operation — true on local FS and HDFS, FALSE on
+  * object stores (S3A's create is check-then-put, its rename a
+  * non-atomic O(data) copy). [[saveCoarsePq]] detects object-store
+  * schemes and logs a loud warning; run the store on an HDFS-like
+  * filesystem when concurrent writers are possible.
   */
 object ModelStore {
 
@@ -89,11 +110,15 @@ object ModelStore {
     * `version = 0` marks a legacy (pre-versioning) store whose tables
     * live directly under `dir`.
     *
-    * A missing or unreadable meta is retried briefly (when `retry`) IF
-    * version directories exist under `dir` — that is the fingerprint of
-    * a pointer swap in flight (delete-old/rename-temp window) rather
-    * than of an empty store, and the window is two FS metadata ops, not
-    * a write job. An empty or version-less store returns None at once. */
+    * When `meta` is absent but a `.meta.bak.v<N>` stash exists, the
+    * newest stash is read instead: during the two-rename swap window the
+    * stash IS the old committed meta (the documented one-version reader
+    * grace), and after a crash between the two renames it is the only
+    * surviving pointer to the still-intact old model. A missing or
+    * unreadable meta with NO stash is retried briefly (when `retry`) IF
+    * version directories exist under `dir` — the fingerprint of an
+    * install in flight rather than of an empty store. An empty or
+    * version-less store returns None at once. */
   private def readMeta(
       spark: SparkSession, dir: String,
       retry: Boolean = true): Option[(Int, Int, Int, Int, Long)] = {
@@ -102,18 +127,27 @@ object ModelStore {
     def hasVersionDirs: Boolean =
       fs.exists(new Path(dir)) && fs.listStatus(new Path(dir))
         .exists(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+    def latestStash: Option[Path] =
+      if (!fs.exists(new Path(dir))) None
+      else fs.listStatus(new Path(dir)).map(_.getPath)
+        .filter(_.getName.matches("\\.meta\\.bak\\.v\\d+"))
+        .sortBy(_.getName.stripPrefix(".meta.bak.v").toLong).lastOption
+    def readFrom(p: Path): Option[(Int, Int, Int, Int, Long)] = {
+      val df = spark.read.parquet(p.toString)
+      val versioned = df.columns.contains("version")
+      val row = df.select(col("m"), col("k"), col("coarse_k"), col("dims"),
+        (if (versioned) col("version") else lit(0L)).as("version"))
+        .collect().head
+      Some((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getLong(4)))
+    }
     val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
     def attempt(): Option[(Int, Int, Int, Int, Long)] = {
       val out =
         try {
-          if (!fs.exists(metaPath)) Right(None)
-          else {
-            val df = spark.read.parquet(metaPath.toString)
-            val versioned = df.columns.contains("version")
-            val row = df.select(col("m"), col("k"), col("coarse_k"), col("dims"),
-              (if (versioned) col("version") else lit(0L)).as("version"))
-              .collect().head
-            Right(Some((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getLong(4))))
+          if (fs.exists(metaPath)) Right(readFrom(metaPath))
+          else latestStash match {
+            case Some(stash) => Right(readFrom(stash))
+            case None => Right(None)
           }
         } catch { case scala.util.control.NonFatal(t) => Left(t) }
       out match {
@@ -134,15 +168,18 @@ object ModelStore {
     * travels with the install rename, so it can never disagree with the
     * parquet pointer it sits next to. Metas written before the sidecar
     * existed fall back to the parquet read (one Spark job, once — the
-    * next save writes the sidecar). */
+    * next save writes the sidecar), as does a store whose meta is absent
+    * but whose `.meta.bak` stash survives a mid-swap crash: the stash
+    * pointer is what readers are serving, so GC's grace must honor it. */
   private def readVersionPointer(
       spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {
     val metaPath = new Path(s"$dir/meta")
-    if (!fs.exists(metaPath)) None
-    else fs.listStatus(metaPath)
-      .map(_.getPath.getName).find(_.matches("_version_\\d+"))
-      .map(_.stripPrefix("_version_").toLong)
-      .orElse(readMeta(spark, dir, retry = false).map(_._5))
+    val sidecar =
+      if (!fs.exists(metaPath)) None
+      else fs.listStatus(metaPath)
+        .map(_.getPath.getName).find(_.matches("_version_\\d+"))
+        .map(_.stripPrefix("_version_").toLong)
+    sidecar.orElse(readMeta(spark, dir, retry = false).map(_._5))
   }
 
   /** Atomically claim a version directory for this writer by creating
@@ -154,7 +191,13 @@ object ModelStore {
   private[operators] def claimVersion(fs: org.apache.hadoop.fs.FileSystem, base: String): Unit = {
     try fs.create(new Path(s"$base/.writer"), false).close()
     catch {
-      case e: java.io.IOException =>
+      // ONLY an already-exists outcome is a claim collision. Any other
+      // IOException (transient FS error, permissions, quota) propagates
+      // with its real cause — mapping it to "concurrent writer" would
+      // misdiagnose the failure, burn all of [[allocateVersion]]'s
+      // re-allocation attempts, and litter a .writer-only dir per attempt.
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
         throw new IllegalStateException(
           s"version directory $base is already claimed by a concurrent writer", e)
     }
@@ -199,6 +242,28 @@ object ModelStore {
     * fails LOUDLY rather than committing a pointer to deleted data. */
   private val liveClaims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Schemes whose rename is a non-atomic copy and whose exclusive-create
+    * is check-then-put — the store's fencing/swap guarantees do not hold
+    * there (see the object doc's filesystem requirements). */
+  private val objectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos", "swift")
+
+  /** Deterministic race-injection seams for SPECS ONLY (no-ops in
+    * production): a cross-process interleaving — another process's GC
+    * sweeping this writer's directory mid-save — cannot be staged from
+    * one JVM without a hook, so the spec plays the other process here.
+    *   - [[midSaveTestHook]]: after the version claim, before the data
+    *     writes (base path) — where a sibling save can be interleaved.
+    *   - [[preSwapTestHook]]: after the temp meta write, before the swap
+    *     section — where the pre-swap existence check must catch a sweep.
+    *   - [[postInstallTestHook]]: after the pointer rename, before the
+    *     post-install re-verification — where the rollback must engage. */
+  private[operators] var midSaveTestHook: String => Unit = _ => ()
+  private[operators] var preSwapTestHook: String => Unit = _ => ()
+  private[operators] var postInstallTestHook: String => Unit = _ => ()
+
   /** Persist a trained coarse+PQ model (the [[Similarity.coarsePqModels]]
     * quadruple) under `dir` as a fresh immutable version, then swap the
     * meta pointer. The four data tables land on independent paths inside
@@ -224,14 +289,18 @@ object ModelStore {
     import spark.implicits._
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the version the CURRENT meta points at is the grace predecessor GC
-    // must keep for in-flight readers — recorded here, before the swap,
-    // so GC can trust it as complete even when the committer emits no
-    // _SUCCESS markers (sidecar listing — job-free on the save hot path)
-    val prevCommitted = readVersionPointer(spark, fs, dir).filter(_ > 0L)
+    val scheme = Option(fs.getUri.getScheme).map(_.toLowerCase).getOrElse("file")
+    if (objectStoreSchemes(scheme))
+      log.warn(s"ModelStore at $dir sits on '$scheme://', an object store " +
+        "whose rename is a non-atomic copy and whose create(overwrite=false) " +
+        "is check-then-put; the store's writer fencing and pointer-swap " +
+        "atomicity assume HDFS-like semantics (local FS, HDFS). Single-writer " +
+        "saves still commit correctly, but concurrent writers are NOT fenced " +
+        "here — coordinate retraining externally.")
     val next = allocateVersion(fs, dir)
     val base = s"$dir/v$next"
     liveClaims.add(base) // shield this in-flight dir from a sibling's GC
+    midSaveTestHook(base)
     try {
     // the outcome is materialized with a catch-ALL, not scala.util.Try:
     // Try only catches NonFatal, so e.g. an InterruptedException would
@@ -251,39 +320,78 @@ object ModelStore {
     outcomes.flatten.foreach(t => throw t) // all writes quiesced; surface any failure
     // pointer swap: build the new meta on a hidden temp path (a full
     // parquet write job), then install it with two FS metadata ops —
-    // delete-old + rename-temp. A concurrent readMeta can only catch the
-    // gap BETWEEN those two ops, and it retries across exactly that gap;
+    // stash-old (rename to .meta.bak.v<N>) + rename-temp. A concurrent
+    // readMeta that lands in the gap BETWEEN those two ops reads the
+    // stash — the old committed meta, i.e. the documented reader grace;
     // mode("overwrite") straight onto $dir/meta would instead leave meta
     // missing/partial for the duration of a whole write job
     val tmpMeta = new Path(s"$dir/.meta.tmp.v$next")
     Seq((m, k, coarseK, dims, next)).toDF("m", "k", "coarse_k", "dims", "version")
       .write.mode("overwrite").parquet(tmpMeta.toString)
-    // job-free pointer sidecar for the NEXT save's prevCommitted lookup;
-    // written on the temp path so it installs atomically with the meta
+    // job-free pointer sidecar for the NEXT save's grace lookup; written
+    // on the temp path so it installs atomically with the meta
     fs.create(new Path(tmpMeta, s"_version_$next"), true).close()
+    preSwapTestHook(base)
     swapLock.synchronized {
     // pre-swap guard for CROSS-PROCESS writer races (in-JVM siblings are
     // already shielded by liveClaims): if some other process's GC swept
     // this writer's directory mid-save, fail loudly here — never commit a
     // pointer to deleted data
-    if (!parts.forall(p => fs.exists(new Path(s"$base/$p"))))
+    if (!parts.forall(p => fs.exists(new Path(s"$base/$p")))) {
+      try fs.delete(tmpMeta, true) catch { case scala.util.control.NonFatal(_) => () }
       throw new IllegalStateException(
         s"in-flight version directory $base was swept by a concurrent " +
           "writer's GC before the pointer swap; aborting instead of " +
           "committing a dangling pointer")
+    }
+    // the grace predecessor is the version the pointer names RIGHT NOW,
+    // inside the swap section — not a value captured at save start: a
+    // sibling save may have committed during this save's data writes,
+    // and GC keeping a stale predecessor would sweep that just-committed
+    // version out from under its readers (job-free via the sidecar)
+    val gracePred = readVersionPointer(spark, fs, dir).filter(_ > 0L)
     val metaPath = new Path(s"$dir/meta")
-    if (fs.exists(metaPath)) fs.delete(metaPath, true)
-    if (!fs.rename(tmpMeta, metaPath))
+    val bakMeta = new Path(s"$dir/.meta.bak.v$next")
+    val hadOld = fs.exists(metaPath)
+    if (hadOld && !fs.rename(metaPath, bakMeta))
+      throw new java.io.IOException(s"failed to stash $metaPath as $bakMeta")
+    if (!fs.rename(tmpMeta, metaPath)) {
+      // restore the stash so the old pointer stays served, then fail loud
+      if (hadOld) fs.rename(bakMeta, metaPath)
       throw new java.io.IOException(s"failed to install $tmpMeta as $metaPath")
+    }
+    postInstallTestHook(base)
+    // post-install re-verification: the pre-swap check is check-then-act
+    // across processes — a concurrent writer's GC can sweep $base between
+    // that check and the rename. Re-verify AFTER the pointer landed; if
+    // the data vanished, roll the pointer back to the stashed old meta
+    // and fail loudly rather than leave a dangling pointer installed.
+    // (A sweep after THIS check means the other process deleted a version
+    // its own pointer-read saw as superseded — see the object doc's
+    // residual-exposure note.)
+    if (!parts.forall(p => fs.exists(new Path(s"$base/$p")))) {
+      fs.delete(metaPath, true)
+      if (hadOld && !fs.rename(bakMeta, metaPath))
+        throw new IllegalStateException(
+          s"version directory $base was swept after the pointer install " +
+            s"AND the stashed old meta could not be restored — $dir needs " +
+            "manual repair (restore .meta.bak, or re-save)")
+      throw new IllegalStateException(
+        s"in-flight version directory $base was swept by a concurrent " +
+          "writer's GC after the pointer install; rolled the pointer back " +
+          "to the previous committed model and aborted the save")
+    }
+    if (hadOld) fs.delete(bakMeta, true)
     // best-effort GC, FS-only: keep the just-committed version plus ONE
     // grace predecessor for readers that resolved before the swap. The
-    // grace slot goes to the version the pre-swap meta pointed at —
-    // committed is complete by construction, no markers needed — falling
-    // back (legacy stores with no recorded pointer) to the latest
-    // predecessor whose four parts all carry _SUCCESS, or, when this
-    // deployment's committer emits no markers at all (the just-written
-    // version has none), whose four parts are all non-empty. Everything
-    // else — older versions and incomplete crash garbage — is swept.
+    // grace slot goes to the version the pointer named just before this
+    // install — committed is complete by construction, no markers needed
+    // — falling back (legacy stores with no recorded pointer) to the
+    // latest predecessor whose four parts all carry _SUCCESS, or, when
+    // this deployment's committer emits no markers at all (the
+    // just-written version has none), whose four parts are all
+    // non-empty. Everything else — older versions and incomplete crash
+    // garbage — is swept.
     try {
       def hasMarkers(v: Long): Boolean =
         parts.forall(p => fs.exists(new Path(s"$dir/v$v/$p/_SUCCESS")))
@@ -308,17 +416,18 @@ object ModelStore {
         .filter(v => v < next && !liveClaims.contains(s"$dir/v$v"))
       def complete(v: Long): Boolean =
         if (markersEmitted) hasMarkers(v) else nonEmptyParts(v)
-      val grace = prevCommitted.filter(others.contains)
+      val grace = gracePred.filter(others.contains)
         .orElse(others.filter(complete).sorted.lastOption)
       others.filterNot(grace.contains)
         .foreach(v => fs.delete(new Path(s"$dir/v$v"), true))
-      // a save that crashed between the temp-meta write and the rename
-      // leaves a stale .meta.tmp.vK behind; sweep those (ours is gone —
-      // renamed to meta) under the same below-next + not-in-flight rule
+      // a save that crashed mid-swap leaves a stale .meta.tmp.vK (before
+      // the install rename) or .meta.bak.vK (after it) behind; sweep both
+      // (ours are gone — tmp renamed to meta, bak deleted) under the same
+      // below-next + not-in-flight rule
       fs.listStatus(root).map(_.getPath)
         .filter { p =>
-          p.getName.matches("\\.meta\\.tmp\\.v\\d+") && {
-            val v = p.getName.stripPrefix(".meta.tmp.v").toLong
+          p.getName.matches("\\.meta\\.(tmp|bak)\\.v\\d+") && {
+            val v = p.getName.replaceFirst("^\\.meta\\.(tmp|bak)\\.v", "").toLong
             v < next && !liveClaims.contains(s"$dir/v$v")
           }
         }

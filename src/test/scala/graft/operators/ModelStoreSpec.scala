@@ -256,6 +256,186 @@ class ModelStoreSpec extends SparkSpec {
       "the save did not write the pointer sidecar")
   }
 
+  // ---------------------------------------------------------------------
+  // cross-process race injection: the hooks play "the other process" —
+  // deterministic stand-ins for interleavings one JVM cannot stage
+
+  private def resetHooks(): Unit = {
+    ModelStore.midSaveTestHook = _ => ()
+    ModelStore.preSwapTestHook = _ => ()
+    ModelStore.postInstallTestHook = _ => ()
+  }
+
+  private def deleteTree(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rec)
+      f.delete(); ()
+    }
+    rec(new java.io.File(path))
+  }
+
+  test("a cross-process GC sweep BEFORE the swap aborts the save loudly; the old pointer survives") {
+    val g = (2, 2, 2, 4)
+    val (a1, c1, k1, b1) = Similarity.coarsePqModels(planted, g._3, 2, g._1, g._2, 2, g._4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, a1, c1, k1, b1, g._1, g._2, g._3, g._4)
+    val oldRows = Similarity.ivfPqSearchFrom(
+      a1, c1, k1, b1, planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    // the "other process": its GC sweeps this writer's in-flight version
+    // directory after the data writes — the in-JVM liveClaims registry is
+    // bypassed by deleting the directory out from under it directly
+    ModelStore.preSwapTestHook = base => deleteTree(base)
+    try {
+      val (a2, c2, k2, b2) = Similarity.coarsePqModels(
+        planted.select($"vec_id", reverse($"embedding").as("embedding")),
+        g._3, 2, g._1, g._2, 2, g._4)
+      val e = intercept[IllegalStateException] {
+        ModelStore.saveCoarsePq(dir, a2, c2, k2, b2, g._1, g._2, g._3, g._4)
+      }
+      assert(e.getMessage.contains("swept"), s"wrong failure: ${e.getMessage}")
+    } finally resetHooks()
+
+    // the pointer never moved: a fresh resolve serves the OLD complete model
+    val t = ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4)
+    val served = Similarity.ivfPqSearchFrom(
+      t._1, t._2, t._3, t._4, planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served == oldRows, "the aborted save disturbed the committed model")
+  }
+
+  test("a cross-process GC sweep AFTER the pointer install rolls the pointer back to the old model") {
+    val g = (2, 2, 2, 4)
+    val (a1, c1, k1, b1) = Similarity.coarsePqModels(planted, g._3, 2, g._1, g._2, 2, g._4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, a1, c1, k1, b1, g._1, g._2, g._3, g._4)
+    val oldRows = Similarity.ivfPqSearchFrom(
+      a1, c1, k1, b1, planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    // the sweep lands in the narrowest window: after the pointer rename,
+    // before the post-install re-verification — the check-then-act gap the
+    // pre-swap check alone cannot close
+    ModelStore.postInstallTestHook = base => deleteTree(base)
+    try {
+      val (a2, c2, k2, b2) = Similarity.coarsePqModels(
+        planted.select($"vec_id", reverse($"embedding").as("embedding")),
+        g._3, 2, g._1, g._2, 2, g._4)
+      val e = intercept[IllegalStateException] {
+        ModelStore.saveCoarsePq(dir, a2, c2, k2, b2, g._1, g._2, g._3, g._4)
+      }
+      assert(e.getMessage.contains("rolled the pointer back"),
+        s"wrong failure: ${e.getMessage}")
+    } finally resetHooks()
+
+    // the rollback restored the stashed old meta: never a dangling pointer
+    val t = ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4)
+    val served = Similarity.ivfPqSearchFrom(
+      t._1, t._2, t._3, t._4, planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served == oldRows, "the rolled-back pointer does not serve the old model")
+  }
+
+  test("GC grace follows a sibling save that committed MID-FLIGHT, not a stale save-start predecessor") {
+    // the advisory race: v1 committed; S1 claims v2 and pauses; S2 claims
+    // v3; S1 commits v2; S2 commits v3. S2's GC must keep v2 — the version
+    // the pointer named at S2's swap — and sweep only v1. A grace
+    // predecessor captured at S2's save START (v1) would instead sweep the
+    // just-committed v2 out from under its readers.
+    val g = (2, 2, 2, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val modelA = Similarity.coarsePqModels(planted, g._3, 2, g._1, g._2, 2, g._4)
+    val modelB = Similarity.coarsePqModels(
+      planted.select($"vec_id", reverse($"embedding").as("embedding")),
+      g._3, 2, g._1, g._2, 2, g._4)
+    ModelStore.saveCoarsePq(dir, modelA._1, modelA._2, modelA._3, modelA._4,
+      g._1, g._2, g._3, g._4) // v1
+
+    val s1Claimed = new java.util.concurrent.CountDownLatch(1)
+    val s1Go = new java.util.concurrent.CountDownLatch(1)
+    val s1Failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    ModelStore.midSaveTestHook = base =>
+      if (base.endsWith("/v2")) { s1Claimed.countDown(); s1Go.await() }
+    val t1 = new Thread(() =>
+      try ModelStore.saveCoarsePq(dir, modelB._1, modelB._2, modelB._3, modelB._4,
+        g._1, g._2, g._3, g._4)
+      catch { case t: Throwable => s1Failure.set(t) })
+    try {
+      t1.start()
+      s1Claimed.await()
+      // S2 (this thread) claims v3, then lets S1 run to COMMIT before S2's
+      // own writes proceed — the exact interleaving from the advisory
+      ModelStore.midSaveTestHook = base =>
+        if (base.endsWith("/v3")) { s1Go.countDown(); t1.join() }
+      ModelStore.saveCoarsePq(dir, modelA._1, modelA._2, modelA._3, modelA._4,
+        g._1, g._2, g._3, g._4) // v3
+    } finally { resetHooks(); s1Go.countDown(); t1.join() }
+    assert(s1Failure.get() == null, s"sibling save failed: ${s1Failure.get()}")
+
+    val vDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(vDirs == Seq("v2", "v3"),
+      s"GC must keep the mid-flight-committed v2 as grace and sweep v1, got: $vDirs")
+  }
+
+  test("claimVersion propagates a non-collision IOException with its real cause") {
+    // a filesystem that fails the marker create with a TRANSIENT error
+    // (not already-exists): the claim must surface it as the IOException
+    // it is — a collision diagnosis would burn all 16 re-allocation
+    // attempts on a dead cause and mislead the operator
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val failing = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def create(
+          f: org.apache.hadoop.fs.Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException("simulated transient FS failure")
+    }
+    failing.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[Throwable] { ModelStore.claimVersion(failing, s"$dir/v7") }
+    assert(!e.isInstanceOf[IllegalStateException],
+      s"transient IO failure misdiagnosed as a claim collision: $e")
+    assert(e.isInstanceOf[java.io.IOException], s"unexpected failure type: $e")
+    assert(e.getMessage.contains("simulated transient FS failure"),
+      s"the real cause was swallowed: ${e.getMessage}")
+  }
+
+  test("a crash between the stash and install renames leaves the store readable via the stash") {
+    val g = (2, 2, 2, 4)
+    val (a1, c1, k1, b1) = Similarity.coarsePqModels(planted, g._3, 2, g._1, g._2, 2, g._4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, a1, c1, k1, b1, g._1, g._2, g._3, g._4)
+    val oldRows = Similarity.ivfPqSearchFrom(
+      a1, c1, k1, b1, planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    // simulate the v2 save dying between its two install renames: the old
+    // meta sits stashed as .meta.bak.v2 and $dir/meta is gone
+    val meta = new java.io.File(s"$dir/meta")
+    assert(meta.renameTo(new java.io.File(s"$dir/.meta.bak.v2")),
+      "fixture: could not stash meta")
+
+    // a reader resolves the OLD committed model through the stash at once
+    val t = ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4)
+    val served = Similarity.ivfPqSearchFrom(
+      t._1, t._2, t._3, t._4, planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served == oldRows, "stash fallback did not serve the old committed model")
+
+    // and the next save recovers: its grace read honors the stash pointer,
+    // so v1 survives as the reader-grace version beside the new commit
+    val (a2, c2, k2, b2) = Similarity.coarsePqModels(
+      planted.select($"vec_id", reverse($"embedding").as("embedding")),
+      g._3, 2, g._1, g._2, 2, g._4)
+    ModelStore.saveCoarsePq(dir, a2, c2, k2, b2, g._1, g._2, g._3, g._4)
+    val vDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(vDirs.head == "v1",
+      s"recovery save swept the stash-committed v1 instead of keeping it as grace: $vDirs")
+    assert(new java.io.File(s"$dir/meta").exists, "recovery save did not restore meta")
+  }
+
   test("loading with mismatched geometry fails fast") {
     val docs = planted
     val (assigned, centroids, codes, books) =
