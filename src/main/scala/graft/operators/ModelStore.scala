@@ -87,6 +87,10 @@ import org.apache.spark.sql.functions._
   *     re-verification that rolls the pointer back to the stashed old
   *     meta and throws — so a cross-process GC sweep racing this save
   *     loses the save, never installs a pointer to deleted data. The
+  *     rollback itself first re-checks (via the job-free sidecar) that
+  *     the installed meta is still THIS save's: a sibling process that
+  *     stashed-and-installed its own meta in the same window keeps its
+  *     commit — the rollback never deletes another writer's meta. The
   *     residual exposure is a sweep landing AFTER the re-verification,
   *     i.e. a process deleting data the pointer already serves — which
   *     is the victim's GC keeping a different grace version; with more
@@ -96,11 +100,16 @@ import org.apache.spark.sql.functions._
   *
   * Filesystem requirements: the fencing and the pointer swap rely on
   * `create(overwrite=false)` being atomic-exclusive and `rename` being
-  * an atomic metadata operation — true on local FS and HDFS, FALSE on
-  * object stores (S3A's create is check-then-put, its rename a
-  * non-atomic O(data) copy). [[saveCoarsePq]] detects object-store
-  * schemes and logs a loud warning; run the store on an HDFS-like
-  * filesystem when concurrent writers are possible.
+  * an atomic metadata operation — true on HDFS, FALSE on object stores
+  * (S3A's create is check-then-put, its rename a non-atomic O(data)
+  * copy). On LOCAL FS the rename is atomic but Hadoop's
+  * RawLocalFileSystem implements exclusive create as exists-then-create,
+  * so the `.writer` fence is best-effort ACROSS PROCESSES there (a
+  * sub-millisecond window in which two processes can both claim one
+  * version); in-JVM saves remain fully serialized by `swapLock` +
+  * `liveClaims` regardless. [[saveCoarsePq]] detects object-store
+  * schemes and logs a loud warning; run the store on HDFS when
+  * cross-process concurrent writers are possible.
   */
 object ModelStore {
 
@@ -370,18 +379,38 @@ object ModelStore {
     // its own pointer-read saw as superseded — see the object doc's
     // residual-exposure note.)
     if (!parts.forall(p => fs.exists(new Path(s"$base/$p")))) {
-      fs.delete(metaPath, true)
-      if (hadOld && !fs.rename(bakMeta, metaPath))
+      // only roll back OUR pointer: a sibling PROCESS may have stashed
+      // this meta and installed its own between our install and this
+      // check — deleting that meta would silently un-commit ITS save.
+      // The job-free sidecar names the installed version; touch nothing
+      // unless it is still ours.
+      val installedStillOurs =
+        try fs.exists(new Path(metaPath, s"_version_$next"))
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (installedStillOurs) {
+        fs.delete(metaPath, true)
+        if (hadOld && !fs.rename(bakMeta, metaPath))
+          throw new IllegalStateException(
+            s"version directory $base was swept after the pointer install " +
+              s"AND the stashed old meta could not be restored — $dir needs " +
+              "manual repair (restore .meta.bak, or re-save)")
         throw new IllegalStateException(
-          s"version directory $base was swept after the pointer install " +
-            s"AND the stashed old meta could not be restored — $dir needs " +
-            "manual repair (restore .meta.bak, or re-save)")
+          s"in-flight version directory $base was swept by a concurrent " +
+            "writer's GC after the pointer install; rolled the pointer back " +
+            "to the previous committed model and aborted the save")
+      }
       throw new IllegalStateException(
         s"in-flight version directory $base was swept by a concurrent " +
-          "writer's GC after the pointer install; rolled the pointer back " +
-          "to the previous committed model and aborted the save")
+          "writer's GC after the pointer install, and a sibling process " +
+          "committed over this save's pointer in the same window; left the " +
+          "sibling's committed meta in place and aborted the save")
     }
-    if (hadOld) fs.delete(bakMeta, true)
+    // unconditional, not gated on hadOld: a save that crashed mid-swap
+    // can leave a stash at THIS version number (its data dir gone, so
+    // allocation re-used the number); our meta is installed, so any
+    // same-numbered stash is stale — and the sweep below only covers
+    // v < next, which would let it linger shadowed until a later save
+    fs.delete(bakMeta, true)
     // best-effort GC, FS-only: keep the just-committed version plus ONE
     // grace predecessor for readers that resolved before the swap. The
     // grace slot goes to the version the pointer named just before this

@@ -434,6 +434,104 @@ class ModelStoreSpec extends SparkSpec {
     assert(vDirs.head == "v1",
       s"recovery save swept the stash-committed v1 instead of keeping it as grace: $vDirs")
     assert(new java.io.File(s"$dir/meta").exists, "recovery save did not restore meta")
+    // the recovery save re-used the crashed save's version number (its data
+    // dir never landed), so the crashed save's stash shares the recovery's
+    // own stash name — the install must clear it rather than leave a stale
+    // .meta.bak.v2 that the below-next sweep would never reach
+    assert(!new java.io.File(s"$dir/.meta.bak.v2").exists,
+      "the recovery save left the crashed save's stale stash on disk")
+  }
+
+  test("the post-install rollback never deletes a sibling process's just-committed meta") {
+    // the rollback-clobber race: writer A installs its pointer; before A's
+    // re-verification, another PROCESS B both sweeps A's data dir and
+    // commits its own meta over A's. A must abort WITHOUT touching B's
+    // meta — rolling back here would silently un-commit B's save (and,
+    // pre-guard, could leave the store with no meta at all when A's own
+    // stash was consumed by B's swap)
+    val g = (2, 2, 2, 4)
+    val (a1, c1, k1, b1) = Similarity.coarsePqModels(planted, g._3, 2, g._1, g._2, 2, g._4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, a1, c1, k1, b1, g._1, g._2, g._3, g._4) // v1
+    val oldRows = Similarity.ivfPqSearchFrom(
+      a1, c1, k1, b1, planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    // "process B", played deterministically in the narrowest window: sweep
+    // A's v2 data, then commit over A's pointer (here by swapping the v1
+    // meta back in — any meta that is not A's exercises the same guard)
+    ModelStore.postInstallTestHook = base => {
+      deleteTree(base)
+      val meta = new java.io.File(s"$dir/meta")
+      deleteTree(meta.getPath)
+      assert(new java.io.File(s"$dir/.meta.bak.v2").renameTo(meta),
+        "fixture: could not play the sibling's meta install")
+    }
+    try {
+      val (a2, c2, k2, b2) = Similarity.coarsePqModels(
+        planted.select($"vec_id", reverse($"embedding").as("embedding")),
+        g._3, 2, g._1, g._2, 2, g._4)
+      val e = intercept[IllegalStateException] {
+        ModelStore.saveCoarsePq(dir, a2, c2, k2, b2, g._1, g._2, g._3, g._4)
+      }
+      assert(e.getMessage.contains("sibling process committed"),
+        s"wrong failure: ${e.getMessage}")
+    } finally resetHooks()
+
+    // B's committed meta survived A's abort: the store resolves B's model
+    // (v1 here), not a deleted pointer and not a meta-less directory
+    val t = ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4)
+    val served = Similarity.ivfPqSearchFrom(
+      t._1, t._2, t._3, t._4, planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served == oldRows,
+      "the aborting save clobbered the sibling's committed meta")
+  }
+
+  test("a legacy flat store (version=0) loads, and a save over it upgrades to v1 without sweeping the legacy tables") {
+    val g = (2, 2, 2, 4)
+    def searchRows(t: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      Similarity.ivfPqSearchFrom(t._1, t._2, t._3, t._4,
+        planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val (a1, c1, k1, b1) = Similarity.coarsePqModels(planted, g._3, 2, g._1, g._2, 2, g._4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    // hand-build the pre-versioning layout: the four tables directly under
+    // dir and a meta with NO version column
+    Seq(("assigned", a1), ("centroids", c1), ("codes", k1), ("books", b1))
+      .foreach { case (n, df) => df.write.parquet(s"$dir/$n") }
+    Seq((g._1, g._2, g._3, g._4)).toDF("m", "k", "coarse_k", "dims")
+      .write.parquet(s"$dir/meta")
+
+    val legacyHandles = ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4)
+    val legacyRows = searchRows(legacyHandles)
+    assert(legacyRows == searchRows((a1, c1, k1, b1)),
+      "the legacy flat layout did not resolve to the stored model")
+
+    // SAVE OVER with the current code: the upgrade must land as v1 behind
+    // the pointer swap, atomically from a reader's point of view
+    val (a2, c2, k2, b2) = Similarity.coarsePqModels(
+      planted.select($"vec_id", reverse($"embedding").as("embedding")),
+      g._3, 2, g._1, g._2, 2, g._4)
+    ModelStore.saveCoarsePq(dir, a2, c2, k2, b2, g._1, g._2, g._3, g._4)
+
+    val upgradedRows = searchRows(ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4))
+    assert(upgradedRows == searchRows((a2, c2, k2, b2)),
+      "post-upgrade resolve did not serve the new model")
+    assert(upgradedRows != legacyRows, "degenerate fixture: retrain must change the result")
+    assert(new java.io.File(s"$dir/v1").isDirectory &&
+      new java.io.File(s"$dir/meta/_version_1").exists,
+      "the upgrade did not install a versioned v1 layout with the pointer sidecar")
+
+    // the legacy flat tables are NOT v<N> directories, so GC must not have
+    // touched them: a reader that resolved the legacy model before the
+    // upgrade still serves it — the same one-version grace, legacy-shaped
+    Seq("assigned", "centroids", "codes", "books").foreach(n =>
+      assert(new java.io.File(s"$dir/$n").isDirectory,
+        s"the upgrade swept the legacy table $n out from under its readers"))
+    assert(searchRows(legacyHandles) == legacyRows,
+      "pre-upgrade reader handles were corrupted by the upgrade")
   }
 
   test("loading with mismatched geometry fails fast") {

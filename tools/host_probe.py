@@ -18,7 +18,9 @@ separates the two axes that matter for that call:
 
 Round-12 calibration on this harness (PSI-quiet, steal <2%, three runs):
 tiny_job_ms_min 56-66, tiny_job_ms_p50 85-90, big_job_s 0.88-0.96,
-sha256 ~1230-1250 MB/s. The 60-90 ms empty-job cost is what inflated the
+sha256 ~1260-1280 MB/s (the round-12 records printed ~1230-1250 under a
+pre-round-13 unit slip that divided openssl's 1000-byte 'k' by 1024 —
+multiply old prints by 1.024 to compare). The 60-90 ms empty-job cost is what inflated the
 round-11/12 full-catalog passes to ~87 s vs the round-10-era ~64 s:
 throughput held (big_job, sha256) while per-job latency blew up, so
 many-small-job queries (k-means/PQ training, model caches) read ~2x
@@ -73,7 +75,8 @@ def main():
             capture_output=True, text=True, timeout=60).stdout + ""
         m = re.search(r"sha256\s.*?([\d.]+)k\s*$", out, re.M)
         if m:
-            sha = float(m.group(1)) / 1024.0  # k-bytes/s -> MB/s
+            # openssl's 'k' is 1000 bytes, so MB/s (10^6) divides by 1000
+            sha = float(m.group(1)) / 1000.0
     except Exception:
         pass
 
