@@ -107,9 +107,18 @@ import org.apache.spark.sql.functions._
   * so the `.writer` fence is best-effort ACROSS PROCESSES there (a
   * sub-millisecond window in which two processes can both claim one
   * version); in-JVM saves remain fully serialized by `swapLock` +
-  * `liveClaims` regardless. [[saveCoarsePq]] detects object-store
-  * schemes and logs a loud warning; run the store on HDFS when
-  * cross-process concurrent writers are possible.
+  * `liveClaims` regardless. Where that prevention is impossible, the
+  * double-claim is DETECTED instead of silently interleaved: each claim
+  * writes the writer's owner token (pid + nonce) into the `.writer`
+  * marker, and the save re-reads it immediately before the pointer swap
+  * — a foreign token means two processes claimed this version, and the
+  * save ABORTS loudly with the old pointer still committed. (The later
+  * claimant's token is the one on disk, so at most one of the two
+  * writers passes the check; a double-claim can still interleave DATA
+  * writes inside the shared v<N> directory before detection, so the
+  * guarantee on local FS is fail-loud, not both-commit.) [[saveCoarsePq]]
+  * detects object-store schemes and logs a loud warning; run the store
+  * on HDFS when cross-process concurrent writers are possible.
   */
 object ModelStore {
 
@@ -192,13 +201,22 @@ object ModelStore {
   }
 
   /** Atomically claim a version directory for this writer by creating
-    * its `.writer` marker with overwrite=false. A second writer that
-    * raced to the same version number fails loudly here — never by
-    * silently interleaving writes into the same paths. [[saveCoarsePq]]
-    * retries allocation on this failure, so two racing saves land as two
-    * DISTINCT versions instead of one corrupted one. */
-  private[operators] def claimVersion(fs: org.apache.hadoop.fs.FileSystem, base: String): Unit = {
-    try fs.create(new Path(s"$base/.writer"), false).close()
+    * its `.writer` marker with overwrite=false, stamped with the
+    * writer's owner token. A second writer that raced to the same
+    * version number fails loudly here — never by silently interleaving
+    * writes into the same paths. [[saveCoarsePq]] retries allocation on
+    * this failure, so two racing saves land as two DISTINCT versions
+    * instead of one corrupted one. On local FS, where exists-then-create
+    * lets two processes both "win" this claim, the token is the
+    * detection fallback: [[saveCoarsePq]] re-reads it before the pointer
+    * swap and aborts on a mismatch (see the object doc). */
+  private[operators] def claimVersion(
+      fs: org.apache.hadoop.fs.FileSystem, base: String, token: String = ""): Unit = {
+    try {
+      val out = fs.create(new Path(s"$base/.writer"), false)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     catch {
       // ONLY an already-exists outcome is a claim collision. Any other
       // IOException (transient FS error, permissions, quota) propagates
@@ -218,7 +236,8 @@ object ModelStore {
     * claim collision means another writer allocated the same number from
     * the same listing; re-list and go higher, so concurrent saves are
     * fenced apart onto distinct versions rather than interleaved. */
-  private def allocateVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String): Long = {
+  private def allocateVersion(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, token: String): Long = {
     val root = new Path(dir)
     var lastFailure: Throwable = null
     (1 to 16).foreach { _ =>
@@ -227,7 +246,7 @@ object ModelStore {
           .map(_.getPath.getName).filter(_.matches("v\\d+"))
           .map(_.drop(1).toLong).foldLeft(0L)(math.max)
       else 0L) + 1L
-      try { claimVersion(fs, s"$dir/v$next"); return next }
+      try { claimVersion(fs, s"$dir/v$next", token); return next }
       catch { case e: IllegalStateException => lastFailure = e }
     }
     throw new IllegalStateException(
@@ -306,7 +325,12 @@ object ModelStore {
         "atomicity assume HDFS-like semantics (local FS, HDFS). Single-writer " +
         "saves still commit correctly, but concurrent writers are NOT fenced " +
         "here — coordinate retraining externally.")
-    val next = allocateVersion(fs, dir)
+    // per-save owner token: claims and installs carry it so cross-process
+    // double-claims (possible on local FS, see the object doc) and
+    // meta-ownership at rollback time are identified by WRITER, never by
+    // version number alone
+    val token = s"${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
+    val next = allocateVersion(fs, dir, token)
     val base = s"$dir/v$next"
     liveClaims.add(base) // shield this in-flight dir from a sibling's GC
     midSaveTestHook(base)
@@ -338,8 +362,12 @@ object ModelStore {
     Seq((m, k, coarseK, dims, next)).toDF("m", "k", "coarse_k", "dims", "version")
       .write.mode("overwrite").parquet(tmpMeta.toString)
     // job-free pointer sidecar for the NEXT save's grace lookup; written
-    // on the temp path so it installs atomically with the meta
+    // on the temp path so it installs atomically with the meta. The owner
+    // token travels the same way: it makes the post-install rollback's
+    // ownership check exact (per-writer), where the version-numbered
+    // sidecar alone could be shared by a local-FS double-claim.
     fs.create(new Path(tmpMeta, s"_version_$next"), true).close()
+    fs.create(new Path(tmpMeta, s"_owner_$token"), true).close()
     preSwapTestHook(base)
     swapLock.synchronized {
     // pre-swap guard for CROSS-PROCESS writer races (in-JVM siblings are
@@ -352,6 +380,28 @@ object ModelStore {
         s"in-flight version directory $base was swept by a concurrent " +
           "writer's GC before the pointer swap; aborting instead of " +
           "committing a dangling pointer")
+    }
+    // double-claim detection (the local-FS fence gap, object doc): the
+    // claim is exclusive-create on HDFS but exists-then-create on
+    // RawLocalFileSystem, so re-read the fence token here — where
+    // prevention may have failed, detect. A foreign (or unreadable)
+    // token means another process claimed THIS version number after us
+    // and has been writing into the same paths; committing would point
+    // readers at interleaved data, so abort with the old pointer intact.
+    val fenceToken =
+      try {
+        val in = fs.open(new Path(s"$base/.writer"))
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => "" }
+    if (fenceToken != token) {
+      try fs.delete(tmpMeta, true) catch { case scala.util.control.NonFatal(_) => () }
+      throw new IllegalStateException(
+        s"version directory $base was double-claimed by a concurrent " +
+          "writer in another process (fence token mismatch — the local-FS " +
+          "exists-then-create window, see the ModelStore filesystem notes); " +
+          "aborting this save instead of interleaving two writers' data " +
+          "under one committed version")
     }
     // the grace predecessor is the version the pointer names RIGHT NOW,
     // inside the swap section — not a value captured at save start: a
@@ -382,10 +432,18 @@ object ModelStore {
       // only roll back OUR pointer: a sibling PROCESS may have stashed
       // this meta and installed its own between our install and this
       // check — deleting that meta would silently un-commit ITS save.
-      // The job-free sidecar names the installed version; touch nothing
-      // unless it is still ours.
+      // Ownership is checked by the per-writer `_owner_<token>` marker
+      // (exact even when a local-FS double-claim put two writers on one
+      // version number), with the version sidecar as a belt-and-braces
+      // second factor; touch nothing unless the meta is still ours. The
+      // check-then-delete below is itself a residual TOCTOU across
+      // processes — a sibling installing in that gap loses its meta —
+      // accepted as the same local-FS best-effort documented in the
+      // object doc's filesystem notes (HDFS writers never share a
+      // version, so they never reach this path concurrently).
       val installedStillOurs =
-        try fs.exists(new Path(metaPath, s"_version_$next"))
+        try fs.exists(new Path(metaPath, s"_version_$next")) &&
+          fs.exists(new Path(metaPath, s"_owner_$token"))
         catch { case scala.util.control.NonFatal(_) => false }
       if (installedStillOurs) {
         fs.delete(metaPath, true)
@@ -396,8 +454,13 @@ object ModelStore {
               "manual repair (restore .meta.bak, or re-save)")
         throw new IllegalStateException(
           s"in-flight version directory $base was swept by a concurrent " +
-            "writer's GC after the pointer install; rolled the pointer back " +
-            "to the previous committed model and aborted the save")
+            "writer's GC after the pointer install; " +
+            (if (hadOld)
+               "rolled the pointer back to the previous committed model"
+             else
+               "removed the dangling pointer — the store has no committed " +
+                 "model, as before the save") +
+            " and aborted the save")
       }
       throw new IllegalStateException(
         s"in-flight version directory $base was swept by a concurrent " +

@@ -337,6 +337,76 @@ class ModelStoreSpec extends SparkSpec {
     assert(served == oldRows, "the rolled-back pointer does not serve the old model")
   }
 
+  test("a forged fence token (local-FS double-claim) aborts the save before the pointer swap; the old pointer survives") {
+    // the local-FS exists-then-create window: another PROCESS claims the
+    // SAME version number after this writer and re-stamps .writer with
+    // ITS token. Prevention is impossible there (RawLocalFileSystem's
+    // exclusive create is check-then-create), so the save must DETECT the
+    // foreign token at the pre-swap re-read and abort instead of
+    // committing a pointer to interleaved data. The hook plays the
+    // sibling's claim in the widest window: after our claim, before our
+    // data writes.
+    val g = (2, 2, 2, 4)
+    val (a1, c1, k1, b1) = Similarity.coarsePqModels(planted, g._3, 2, g._1, g._2, 2, g._4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.saveCoarsePq(dir, a1, c1, k1, b1, g._1, g._2, g._3, g._4) // v1
+    val oldRows = Similarity.ivfPqSearchFrom(
+      a1, c1, k1, b1, planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+    ModelStore.midSaveTestHook = base => {
+      val fence = java.nio.file.Paths.get(base, ".writer")
+      java.nio.file.Files.write(fence,
+        "99999-forged-sibling-nonce".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    try {
+      val (a2, c2, k2, b2) = Similarity.coarsePqModels(
+        planted.select($"vec_id", reverse($"embedding").as("embedding")),
+        g._3, 2, g._1, g._2, 2, g._4)
+      val e = intercept[IllegalStateException] {
+        ModelStore.saveCoarsePq(dir, a2, c2, k2, b2, g._1, g._2, g._3, g._4)
+      }
+      assert(e.getMessage.contains("double-claimed"), s"wrong failure: ${e.getMessage}")
+    } finally resetHooks()
+
+    // the pointer never moved: a fresh resolve serves the OLD complete
+    // model, and no half-installed meta artifacts linger
+    val t = ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4)
+    val served = Similarity.ivfPqSearchFrom(
+      t._1, t._2, t._3, t._4, planted.filter($"vec_id" < 4), g._1, g._4 / g._1, 3, 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served == oldRows, "the aborted double-claimed save disturbed the committed model")
+    assert(!new java.io.File(s"$dir/.meta.tmp.v2").exists,
+      "the aborted save left its temp meta behind")
+  }
+
+  test("post-install rollback on a previously EMPTY store reports a meta-less store, not a phantom previous model") {
+    // first-ever save (hadOld=false) whose data dir is swept after the
+    // pointer install: the rollback leaves the store correctly meta-less,
+    // and the error must SAY so — a message claiming a rollback "to the
+    // previous committed model" would misdirect the operator toward a
+    // model that never existed
+    val g = (2, 2, 2, 4)
+    val (a1, c1, k1, b1) = Similarity.coarsePqModels(planted, g._3, 2, g._1, g._2, 2, g._4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    ModelStore.postInstallTestHook = base => deleteTree(base)
+    try {
+      val e = intercept[IllegalStateException] {
+        ModelStore.saveCoarsePq(dir, a1, c1, k1, b1, g._1, g._2, g._3, g._4)
+      }
+      assert(e.getMessage.contains("no committed model"), s"wrong failure: ${e.getMessage}")
+      assert(!e.getMessage.contains("previous committed model"),
+        s"message invents a previous model on an empty store: ${e.getMessage}")
+    } finally resetHooks()
+    // the store is empty again: a load fails the way an untouched empty
+    // store fails, with no dangling pointer
+    val le = intercept[IllegalArgumentException] {
+      ModelStore.loadCoarsePq(spark, dir, g._1, g._2, g._3, g._4)
+    }
+    assert(le.getMessage.contains("no committed model"))
+  }
+
   test("GC grace follows a sibling save that committed MID-FLIGHT, not a stale save-start predecessor") {
     // the advisory race: v1 committed; S1 claims v2 and pauses; S2 claims
     // v3; S1 commits v2; S2 commits v3. S2's GC must keep v2 — the version
